@@ -1,0 +1,266 @@
+"""Sketch property tests — the reference's confusion-matrix oracle re-expressed
+(simple_benchmark.cpp:163-167,305-313 semantics: FN must be 0, FPR ≤ p) plus the
+published error bounds the north rule mandates, and merge-algebra checks
+(SURVEY.md §5 items 2-3)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from raysketch.sketches.base import sketch_from_bytes
+from raysketch.sketches.bloom import BloomSketch, PartitionedBloom, bloom_geometry
+from raysketch.sketches.cms import CountMinSketch
+from raysketch.sketches.hll import HyperLogLog
+from raysketch.sketches.kll import KLL
+from raysketch.sketches.tdigest import TDigest
+
+RNG = np.random.default_rng(42)
+
+
+def _keys(n, prefix="k"):
+    return pa.array([f"{prefix}{i:012d}" for i in range(n)])
+
+
+# ---------------------------------------------------------------------------- bloom
+
+
+def test_bloom_geometry_textbook():
+    m, k = bloom_geometry(1000, 0.01)
+    # m = ceil(-n ln p / ln^2 2) ≈ 9585.06 → 9586, rounded up to 64-boundary
+    assert 9585 <= m <= 9664 and m % 64 == 0
+    assert k == 7  # round(m/n * ln2) ≈ round(6.64..)
+
+
+@pytest.mark.parametrize("algo", ["classic", "blocked"])
+def test_bloom_no_false_negatives(algo):
+    n = 20000
+    bf = BloomSketch(n, 0.01, algo=algo)
+    keys = _keys(n, "in")
+    bf.update_column(keys)
+    assert bf.count == n
+    assert bf.probe_column(keys).all()  # FN = 0, the Bloom invariant
+
+
+def test_bloom_fpr_at_most_p():
+    n = 50000
+    bf = BloomSketch(n, 0.01)
+    bf.update_column(_keys(n, "in"))
+    neg = _keys(50000, "out")
+    fp = int(bf.probe_column(neg).sum())
+    fpr = fp / 50000
+    assert fpr <= 0.015  # 1.5x statistical slack per SURVEY.md §5
+
+
+def test_bloom_blocked_fpr_reasonable():
+    # blocked filters trade FPR for speed; allow a looser bound
+    n = 50000
+    bf = BloomSketch(n, 0.01, algo="blocked")
+    bf.update_column(_keys(n, "in"))
+    fpr = bf.probe_column(_keys(50000, "out")).sum() / 50000
+    assert fpr <= 0.05
+
+
+def test_bloom_merge_algebra():
+    n = 3000
+    parts = [_keys(n, f"p{i}-") for i in range(3)]
+    sks = []
+    for p in parts:
+        s = BloomSketch(3 * n, 0.01)
+        s.update_column(p)
+        sks.append(s)
+    a, b, c = sks
+    ab_c = BloomSketch.from_bytes(a.to_bytes()).merge(b).merge(c)
+    bc = BloomSketch.from_bytes(b.to_bytes()).merge(c)
+    a_bc = BloomSketch.from_bytes(a.to_bytes()).merge(bc)
+    assert ab_c.to_bytes() == a_bc.to_bytes()  # bitwise-equal associativity
+    # build(1) == merge(P partials) bitwise
+    whole = BloomSketch(3 * n, 0.01)
+    for p in parts:
+        whole.update_column(p)
+    assert whole.to_bytes() == ab_c.to_bytes()
+
+
+def test_bloom_roundtrip():
+    bf = BloomSketch(1000, 0.01)
+    bf.update_column(_keys(1000))
+    back = sketch_from_bytes(bf.to_bytes())
+    assert isinstance(back, BloomSketch)
+    assert back.probe_column(_keys(1000)).all()
+    assert back.m == bf.m and back.count == bf.count
+
+
+def test_partitioned_bloom_routing_and_merge():
+    n = 16000
+    pb = PartitionedBloom(n, 0.01, num_shards=16)
+    keys = _keys(n, "in")
+    pb.update_column(keys)
+    assert pb.count == n
+    assert pb.probe_column(keys).all()
+    fpr = pb.probe_column(_keys(20000, "out")).sum() / 20000
+    assert fpr <= 0.02
+    # shard-wise merge: two halves == whole
+    h1 = PartitionedBloom(n, 0.01, num_shards=16)
+    h2 = PartitionedBloom(n, 0.01, num_shards=16)
+    h1.update_column(_keys(n, "in").slice(0, n // 2))
+    h2.update_column(_keys(n, "in").slice(n // 2))
+    assert h1.merge(h2).to_bytes() == pb.to_bytes()
+
+
+# ---------------------------------------------------------------------------- hll
+
+
+def test_hll_error_bound():
+    for true_n in (1000, 50000):
+        h = HyperLogLog(precision=14)
+        h.update_column(_keys(true_n))
+        est = h.estimate()
+        sigma = 1.04 / np.sqrt(h.m)
+        assert abs(est - true_n) / true_n <= 3 * sigma + 0.01
+
+
+def test_hll_merge_is_max_and_matches_single_build():
+    a = HyperLogLog(12)
+    b = HyperLogLog(12)
+    a.update_column(_keys(10000, "a"))
+    b.update_column(_keys(10000, "b"))
+    whole = HyperLogLog(12)
+    whole.update_column(_keys(10000, "a"))
+    whole.update_column(_keys(10000, "b"))
+    merged = HyperLogLog.from_bytes(a.to_bytes()).merge(b)
+    assert np.array_equal(merged.registers, whole.registers)  # bitwise merge identity
+    # idempotent: merging the same sketch twice changes nothing
+    again = HyperLogLog.from_bytes(merged.to_bytes()).merge(merged)
+    assert np.array_equal(again.registers, merged.registers)
+
+
+def test_hll_roundtrip():
+    h = HyperLogLog(10)
+    h.update_column(_keys(500))
+    back = sketch_from_bytes(h.to_bytes())
+    assert back.estimate() == h.estimate()
+
+
+# ---------------------------------------------------------------------------- cms
+
+
+def test_cms_overestimate_only_and_bound():
+    rng = np.random.default_rng(7)
+    # zipf-ish frequencies
+    items = np.repeat(np.arange(200), rng.integers(1, 500, size=200))
+    col = pa.array([f"item{i}" for i in items])
+    cms = CountMinSketch(width=2048, depth=5)
+    cms.update_column(col)
+    uniq, exact = np.unique(items, return_counts=True)
+    est = cms.query_column(pa.array([f"item{i}" for i in uniq]))
+    assert (est >= exact).all()  # overestimate-only
+    n_total = len(items)
+    eps = cms.eps
+    viol = (est - exact > eps * n_total).mean()
+    assert viol <= cms.delta + 0.01
+
+
+def test_cms_merge_additive():
+    a = CountMinSketch(width=512, depth=4)
+    b = CountMinSketch(width=512, depth=4)
+    a.update_column(_keys(1000, "x"))
+    b.update_column(_keys(1000, "x"))
+    whole = CountMinSketch(width=512, depth=4)
+    whole.update_column(_keys(1000, "x"))
+    whole.update_column(_keys(1000, "x"))
+    merged = CountMinSketch.from_bytes(a.to_bytes()).merge(b)
+    assert np.array_equal(merged.table, whole.table)
+    assert merged.total == 2000
+
+
+def test_cms_weighted():
+    cms = CountMinSketch(width=1024, depth=4)
+    cms.update_column(pa.array(["a", "b"]), weights=[10, 3])
+    est = cms.query_column(pa.array(["a", "b"]))
+    assert est[0] >= 10 and est[1] >= 3
+    assert cms.total == 13
+
+
+# ---------------------------------------------------------------------------- tdigest
+
+
+def test_tdigest_quantile_accuracy():
+    rng = np.random.default_rng(0)
+    data = rng.lognormal(0, 1, 200000)
+    td = TDigest(compression=200)
+    for chunk in np.array_split(data, 10):
+        td.update(chunk)
+    s = np.sort(data)
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        est = td.quantile(q)
+        # rank error: where does est fall in the exact CDF?
+        rank = np.searchsorted(s, est) / len(s)
+        assert abs(rank - q) <= 0.01, (q, rank)
+
+
+def test_tdigest_merge_accuracy():
+    rng = np.random.default_rng(1)
+    data = rng.normal(0, 1, 100000)
+    parts = np.array_split(data, 8)
+    digests = []
+    for p in parts:
+        t = TDigest(200)
+        t.update(p)
+        digests.append(t)
+    merged = digests[0]
+    for d in digests[1:]:
+        merged.merge(d)
+    s = np.sort(data)
+    for q in (0.1, 0.5, 0.9):
+        rank = np.searchsorted(s, merged.quantile(q)) / len(s)
+        assert abs(rank - q) <= 0.015
+    assert merged.total == len(data)
+
+
+def test_tdigest_roundtrip():
+    td = TDigest(100)
+    td.update(np.arange(1000.0))
+    back = sketch_from_bytes(td.to_bytes())
+    assert abs(back.quantile(0.5) - td.quantile(0.5)) < 1e-9
+
+
+# ---------------------------------------------------------------------------- kll
+
+
+def test_kll_rank_error_bound():
+    rng = np.random.default_rng(3)
+    data = rng.uniform(0, 1, 200000)
+    kll = KLL(k=200)
+    for chunk in np.array_split(data, 20):
+        kll.update(chunk)
+    s = np.sort(data)
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        est = kll.quantile(q)
+        rank = np.searchsorted(s, est) / len(s)
+        assert abs(rank - q) <= 0.025, (q, rank)  # ~O(1/k) with slack
+
+
+def test_kll_merge_accuracy():
+    rng = np.random.default_rng(4)
+    data = rng.normal(5, 2, 100000)
+    parts = np.array_split(data, 8)
+    sks = []
+    for i, p in enumerate(parts):
+        k = KLL(k=200, seed=100 + i)
+        k.update(p)
+        sks.append(k)
+    merged = sks[0]
+    for s_ in sks[1:]:
+        merged.merge(s_)
+    s = np.sort(data)
+    for q in (0.1, 0.5, 0.9):
+        rank = np.searchsorted(s, merged.quantile(q)) / len(s)
+        assert abs(rank - q) <= 0.03
+    assert merged.total == len(data)
+
+
+def test_kll_roundtrip():
+    k = KLL(k=128)
+    k.update(np.arange(5000.0))
+    back = sketch_from_bytes(k.to_bytes())
+    assert back.quantile(0.5) == k.quantile(0.5)
+    assert back.total == 5000
