@@ -1,0 +1,151 @@
+"""Distributed sketch building over ``ray.data.Dataset``.
+
+Two build strategies (SURVEY.md §3.4 / §7):
+
+- **Partial + tree-merge** (``build_sketch``): every input block produces ONE partial
+  sketch inside ``map_batches`` (the combiner — no shuffle of row data at all), the
+  partials dataset is reduced by a fan-in merge stage, and the final few blobs merge
+  on the driver. This is the scalable default for fixed-size states (HLL, CMS,
+  digests, moderate-m Blooms): bytes moved = O(#blocks × sketch_size), independent
+  of row count.
+- **Keyed two-level** (``build_keyed_sketch``): per-block partial sketch *per key in
+  the block*, then ``groupby(key)`` over the partials only. Because partials are
+  fixed-size, skewed keys (the Zipfian ``lang``) cost O(#blocks) partials, not
+  O(rows) — the salted-two-level pattern from SURVEY.md §4.
+
+The insert/flush/query epoch of the reference (gloom.h:196-215 ``flush()``)
+corresponds to the materialization barrier between the build and any probe stage.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import numpy as np
+import pyarrow as pa
+
+from raysketch.sketches.base import sketch_from_bytes
+
+_STATE_SCHEMA = pa.schema([("state", pa.binary()), ("rows_in", pa.int64())])
+
+
+def _default_update(sk, col: pa.Array) -> None:
+    """Update a sketch from an Arrow column: hash-keyed sketches take the column,
+    value sketches (t-digest/KLL) take the numeric values."""
+    if hasattr(sk, "update_column"):
+        sk.update_column(col)
+    else:
+        sk.update(col.to_numpy(zero_copy_only=False))
+
+
+def _merge_blobs(blobs) -> bytes:
+    it = iter(blobs)
+    acc = sketch_from_bytes(bytes(next(it)))
+    for b in it:
+        acc.merge(sketch_from_bytes(bytes(b)))
+    return acc.to_bytes()
+
+
+def build_sketch(
+    ds,
+    column: str,
+    make_sketch: Callable[[], object],
+    update: Callable[[object, pa.Array], None] = _default_update,
+    batch_size: int | None = None,
+    merge_fanout: int = 64,
+):
+    """Build one merged sketch over ``ds[column]``. Returns the sketch object.
+
+    ``map_batches`` with ``batch_size=None`` gives one partial per block
+    (zero-copy pyarrow in, 1-row table out); a fan-in merge stage bounds what the
+    driver touches to ``#blocks / merge_fanout`` blobs.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sk = make_sketch()
+        update(sk, batch.column(column).combine_chunks())
+        return pa.table(
+            {"state": [sk.to_bytes()], "rows_in": [batch.num_rows]}, schema=_STATE_SCHEMA
+        )
+
+    parts = ds.select_columns([column]).map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+    )
+
+    def merge_batch(batch: pa.Table) -> pa.Table:
+        blob = _merge_blobs(batch.column("state").to_pylist())
+        return pa.table(
+            {"state": [blob], "rows_in": [int(pa.compute.sum(batch.column("rows_in")).as_py() or 0)]},
+            schema=_STATE_SCHEMA,
+        )
+
+    reduced = parts.map_batches(merge_batch, batch_format="pyarrow", batch_size=merge_fanout)
+    final_rows = reduced.take_all()  # ≤ #blocks / fanout rows, each a small blob
+    acc = sketch_from_bytes(final_rows[0]["state"])
+    for row in final_rows[1:]:
+        acc.merge(sketch_from_bytes(row["state"]))
+    return acc
+
+
+def build_keyed_sketch(
+    ds,
+    key: str,
+    column: str,
+    make_sketch: Callable[[], object],
+    update: Callable[[object, pa.Array], None] = _default_update,
+    batch_size: int | None = None,
+) -> pa.Table:
+    """Build one merged sketch PER distinct value of ``key`` (e.g. per ``lang``).
+
+    Returns a small Arrow table ``(key, state, rows_in)``. Skew-safe: the shuffle
+    moves only per-block partial blobs, never rows.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key).combine_chunks()
+        col = batch.column(column).combine_chunks()
+        karr = np.asarray(keys)
+        out_k, out_s, out_n = [], [], []
+        for kv in np.unique(karr):
+            mask = karr == kv
+            sk = make_sketch()
+            update(sk, col.filter(pa.array(mask)))
+            out_k.append(str(kv))
+            out_s.append(sk.to_bytes())
+            out_n.append(int(mask.sum()))
+        return pa.table(
+            {key: pa.array(out_k, type=pa.string()), "state": pa.array(out_s, type=pa.binary()), "rows_in": pa.array(out_n, type=pa.int64())}
+        )
+
+    parts = ds.select_columns([key, column]).map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+    )
+
+    def merge_group(group: pa.Table) -> pa.Table:
+        blob = _merge_blobs(group.column("state").to_pylist())
+        return pa.table(
+            {
+                key: [group.column(key)[0].as_py()],
+                "state": pa.array([blob], type=pa.binary()),
+                "rows_in": [int(pa.compute.sum(group.column("rows_in")).as_py() or 0)],
+            }
+        )
+
+    merged = parts.groupby(key).map_groups(merge_group, batch_format="pyarrow")
+    rows = merged.take_all()
+    return pa.table(
+        {
+            key: pa.array([r[key] for r in rows], type=pa.string()),
+            "state": pa.array([r["state"] for r in rows], type=pa.binary()),
+            "rows_in": pa.array([r["rows_in"] for r in rows], type=pa.int64()),
+        }
+    )
+
+
+def sketch_table_to_dict(tbl: pa.Table, key: str) -> dict:
+    """Materialize a keyed sketch table into {key: sketch} (small)."""
+    out = {}
+    for i in range(tbl.num_rows):
+        out[tbl.column(key)[i].as_py()] = sketch_from_bytes(tbl.column("state")[i].as_py())
+    return out

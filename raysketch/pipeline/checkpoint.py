@@ -1,0 +1,187 @@
+"""Checkpoint / resume with per-partition lineage (north-rule requirement).
+
+Layout (the resumable-output discipline): one Parquet file PER SHARD under the
+checkpoint directory, written atomically (temp file + rename) by the task that
+built the shard, plus a ``manifest.json`` with the build parameters. A resumed run
+lists the directory, skips finished shards, and rebuilds only the missing ones from
+the input (their lineage); this is what checkpoint/resume means for a batch
+pipeline (reference has none — SURVEY.md §4 "Checkpoint/resume: design (mandated)").
+
+Each shard file carries ``(shard, state, rows_in, build_ms, state_bytes)`` — state
+blob + lineage + metrics in one row.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from raysketch.hashing import CLASSIC_SEEDS
+from raysketch.pipeline.partitioned import add_hash_columns
+from raysketch.sketches.bloom import BloomSketch, PartitionedBloom
+
+
+def _atomic_write_table(tbl: pa.Table, path: str) -> None:
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+
+
+def _shard_path(ckpt_dir: str, sid: int) -> str:
+    return os.path.join(ckpt_dir, f"shard-{sid:05d}.parquet")
+
+
+def finished_shards(ckpt_dir: str) -> set[int]:
+    if not os.path.isdir(ckpt_dir):
+        return set()
+    out = set()
+    for f in os.listdir(ckpt_dir):
+        if f.startswith("shard-") and f.endswith(".parquet"):
+            out.add(int(f[len("shard-") : -len(".parquet")]))
+    return out
+
+
+def checkpointed_partitioned_bloom(
+    ds,
+    column: str,
+    capacity: int,
+    ckpt_dir: str,
+    fp_rate: float = 0.01,
+    num_shards: int = 64,
+    hash_algo: str = "xxh64",
+    seeds: tuple[int, int] = CLASSIC_SEEDS,
+    algo: str = "classic",
+    input_files: list[str] | None = None,
+) -> tuple[PartitionedBloom, pa.Table]:
+    """Build (or resume) a partitioned Bloom with per-shard checkpoints.
+
+    Only rows routed to UNFINISHED shards cross the shuffle on resume — finished
+    shards are filtered out right after the hash stage, before any row moves.
+    """
+    os.makedirs(ckpt_dir, exist_ok=True)
+    manifest_path = os.path.join(ckpt_dir, "manifest.json")
+    params = {
+        "column": column,
+        "capacity": capacity,
+        "fp_rate": fp_rate,
+        "num_shards": num_shards,
+        "hash_algo": hash_algo,
+        "seeds": list(seeds),
+        "algo": algo,
+        "input_files": input_files or [],
+    }
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            prev = json.load(f)
+        if {k: prev.get(k) for k in params if k != "input_files"} != {
+            k: v for k, v in params.items() if k != "input_files"
+        }:
+            raise ValueError(f"checkpoint {ckpt_dir} was built with different parameters")
+    else:
+        with open(manifest_path, "w") as f:
+            json.dump(params, f, indent=2, sort_keys=True)
+
+    done = finished_shards(ckpt_dir)
+    missing = sorted(set(range(num_shards)) - done)
+    per_shard_capacity = max(1, math.ceil(capacity / num_shards))
+
+    if missing:
+        missing_arr = np.array(missing, dtype=np.int32)
+
+        def hash_and_filter(batch: pa.Table) -> pa.Table:
+            out = add_hash_columns(batch, column, num_shards, hash_algo, seeds)
+            sid = np.asarray(out.column("shard"))
+            keep = np.isin(sid, missing_arr)
+            return out.filter(pa.array(keep))
+
+        hashed = ds.map_batches(hash_and_filter, batch_format="pyarrow", zero_copy_batch=True)
+
+        def build_and_checkpoint(group: pa.Table) -> pa.Table:
+            t0 = time.perf_counter()
+            sid = int(group.column("shard")[0].as_py())
+            sk = BloomSketch(per_shard_capacity, fp_rate, algo=algo, hash_algo=hash_algo, seeds=seeds)
+            sk.update_hashes(
+                group.column("h1").combine_chunks().to_numpy(),
+                group.column("h2").combine_chunks().to_numpy(),
+            )
+            blob = sk.to_bytes()
+            ms = (time.perf_counter() - t0) * 1000
+            row = pa.table(
+                {
+                    "shard": pa.array([sid], type=pa.int32()),
+                    "state": pa.array([blob], type=pa.binary()),
+                    "rows_in": pa.array([group.num_rows], type=pa.int64()),
+                    "build_ms": pa.array([ms], type=pa.float64()),
+                    "state_bytes": pa.array([len(blob)], type=pa.int64()),
+                }
+            )
+            _atomic_write_table(row, _shard_path(ckpt_dir, sid))
+            return row
+
+        # consume the pipeline; results land in the checkpoint dir
+        hashed.groupby("shard").map_groups(build_and_checkpoint, batch_format="pyarrow").count()
+
+        # shards that received zero rows still need a (empty) checkpoint file
+        for sid in sorted(set(missing) - finished_shards(ckpt_dir)):
+            sk = BloomSketch(per_shard_capacity, fp_rate, algo=algo, hash_algo=hash_algo, seeds=seeds)
+            blob = sk.to_bytes()
+            row = pa.table(
+                {
+                    "shard": pa.array([sid], type=pa.int32()),
+                    "state": pa.array([blob], type=pa.binary()),
+                    "rows_in": pa.array([0], type=pa.int64()),
+                    "build_ms": pa.array([0.0], type=pa.float64()),
+                    "state_bytes": pa.array([len(blob)], type=pa.int64()),
+                }
+            )
+            _atomic_write_table(row, _shard_path(ckpt_dir, sid))
+
+    return load_partitioned_bloom(ckpt_dir)
+
+
+def load_partitioned_bloom(ckpt_dir: str) -> tuple[PartitionedBloom, pa.Table]:
+    """Assemble the filter + lineage table from a completed checkpoint directory."""
+    with open(os.path.join(ckpt_dir, "manifest.json")) as f:
+        params = json.load(f)
+    num_shards = params["num_shards"]
+    done = finished_shards(ckpt_dir)
+    if done != set(range(num_shards)):
+        raise ValueError(
+            f"checkpoint incomplete: {len(done)}/{num_shards} shards at {ckpt_dir}"
+        )
+    pb = PartitionedBloom(
+        params["capacity"],
+        params["fp_rate"],
+        num_shards=num_shards,
+        algo=params["algo"],
+        hash_algo=params["hash_algo"],
+        seeds=tuple(params["seeds"]),
+    )
+    rows = []
+    for sid in range(num_shards):
+        tbl = pq.read_table(_shard_path(ckpt_dir, sid))
+        pb.shards[sid] = BloomSketch.from_bytes(tbl.column("state")[0].as_py())
+        rows.append(tbl.drop_columns(["state"]))
+    lineage = pa.concat_tables(rows)
+    return pb, lineage
+
+
+def save_sketch(sketch, path: str) -> None:
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "wb") as f:
+        f.write(sketch.to_bytes())
+    os.replace(tmp, path)
+
+
+def load_sketch(path: str):
+    from raysketch.sketches.base import sketch_from_bytes
+
+    with open(path, "rb") as f:
+        return sketch_from_bytes(f.read())

@@ -1,0 +1,198 @@
+"""End-to-end Ray Data pipeline tests (SURVEY.md §5 item 4): distributed result ==
+single-process oracle (bitwise for Bloom/HLL/CMS registers), byte-identical
+extracted text, confusion-matrix invariants, checkpoint/resume identity."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import raysketch.pipeline.text as rtext
+from raysketch.io.corpus import gen_membership_queries, gen_webpages
+from raysketch.pipeline.build import build_keyed_sketch, build_sketch, sketch_table_to_dict
+from raysketch.pipeline.checkpoint import checkpointed_partitioned_bloom, finished_shards
+from raysketch.pipeline.partitioned import build_partitioned_bloom, build_partitioned_bloom_partial
+from raysketch.pipeline.probe import (
+    bloom_anti_join,
+    bloom_semi_join,
+    confusion_matrix,
+    exact_semi_join,
+)
+from raysketch.sketches.bloom import PartitionedBloom
+from raysketch.sketches.cms import CountMinSketch
+from raysketch.sketches.hll import HyperLogLog
+from raysketch.sketches.tdigest import TDigest
+
+N_ROWS = 8000
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory, ray_session):
+    d = tmp_path_factory.mktemp("webpages")
+    gen_webpages(str(d), rows=N_ROWS, num_files=4)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def queries_path(tmp_path_factory, corpus_dir):
+    p = tmp_path_factory.mktemp("queries") / "queries.parquet"
+    gen_membership_queries(str(p), corpus_dir, n_queries=2000)
+    return str(p)
+
+
+def _read(corpus_dir, **kw):
+    import ray.data as rd
+
+    return rd.read_parquet(corpus_dir, **kw)
+
+
+def test_corpus_deterministic(tmp_path, corpus_dir):
+    d2 = tmp_path / "again"
+    gen_webpages(str(d2), rows=N_ROWS, num_files=4)
+    a = pq.ParquetDataset(corpus_dir).read()
+    b = pq.ParquetDataset(str(d2)).read()
+    assert a.equals(b)
+
+
+def test_extract_text_byte_identical(corpus_dir, ray_session):
+    # per-row invariant: extract_text(html) == text column, byte for byte
+    ds = _read(corpus_dir, columns=["url", "html", "text"])
+    out = ds.map_batches(
+        lambda b: pa.table(
+            {
+                "url": b.column("url"),
+                "extracted": rtext.extract_text_array(b.column("html")),
+                "text": b.column("text"),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    mismatches = out.map_batches(
+        lambda b: pa.table(
+            {"bad": [int(pa.compute.sum(pa.compute.not_equal(b.column("extracted"), b.column("text"))).as_py() or 0)]}
+        ),
+        batch_format="pyarrow",
+    ).sum("bad")
+    assert mismatches == 0
+
+
+def test_distributed_bloom_equals_oracle_bitwise(corpus_dir, ray_session):
+    ds = _read(corpus_dir, columns=["url"])
+    pb, lineage = build_partitioned_bloom(ds, "url", capacity=N_ROWS, num_shards=16)
+    # single-process oracle over the same rows
+    urls = pq.ParquetDataset(corpus_dir).read(columns=["url"])["url"].combine_chunks()
+    oracle = PartitionedBloom(N_ROWS, 0.01, num_shards=16)
+    oracle.update_column(urls)
+    assert pb.to_bytes() == oracle.to_bytes()  # bitwise identity across the shuffle
+    assert lineage.num_rows == 16
+    assert sum(lineage.column("rows_in").to_pylist()) == N_ROWS
+    # partial-merge strategy produces the same bits too
+    pb2 = build_partitioned_bloom_partial(ds, "url", capacity=N_ROWS, num_shards=16)
+    assert pb2.to_bytes() == pb.to_bytes()
+
+
+def test_confusion_matrix_invariants(corpus_dir, queries_path, ray_session):
+    import ray.data as rd
+
+    ds = _read(corpus_dir, columns=["url"])
+    pb, _ = build_partitioned_bloom(ds, "url", capacity=N_ROWS, num_shards=16)
+    qds = rd.read_parquet(queries_path)
+    cm = confusion_matrix(qds, pb, "url")
+    assert cm["fn"] == 0  # no false negatives — the Bloom invariant
+    assert cm["fp_rate"] <= 0.02  # p=0.01 with small-n slack
+    assert cm["test_count"] == 2000
+
+
+def test_semi_and_anti_join(corpus_dir, queries_path, ray_session):
+    import ray.data as rd
+
+    ds = _read(corpus_dir, columns=["url"])
+    pb, _ = build_partitioned_bloom(ds, "url", capacity=N_ROWS, num_shards=16)
+    qds = rd.read_parquet(queries_path)
+    semi = bloom_semi_join(qds, pb, "url").take_all()
+    anti = bloom_anti_join(qds, pb, "url").take_all()
+    assert len(semi) + len(anti) == 2000
+    # every positive row must appear in the semi-join (no false negatives)
+    assert sum(1 for r in semi if r["is_positive"]) == 1000
+    # every anti-join row is genuinely absent
+    assert all(not r["is_positive"] for r in anti)
+
+
+def test_exact_broadcast_semi_join(corpus_dir, ray_session):
+    ds = _read(corpus_dir, columns=["url", "lang"])
+    urls = pq.ParquetDataset(corpus_dir).read(columns=["url"])["url"]
+    keys = urls.slice(0, 100).to_pylist()
+    out = exact_semi_join(ds, keys, "url").take_all()
+    assert sorted(r["url"] for r in out) == sorted(keys)
+
+
+def test_build_sketch_hll_bitwise_vs_oracle(corpus_dir, ray_session):
+    ds = _read(corpus_dir, columns=["url"])
+    hll = build_sketch(ds, "url", lambda: HyperLogLog(12))
+    urls = pq.ParquetDataset(corpus_dir).read(columns=["url"])["url"].combine_chunks()
+    oracle = HyperLogLog(12)
+    oracle.update_column(urls)
+    assert np.array_equal(hll.registers, oracle.registers)
+    exact = len(set(urls.to_pylist()))
+    assert abs(hll.estimate() - exact) / exact < 3 * hll.rel_error + 0.01
+
+
+def test_build_sketch_tdigest(corpus_dir, ray_session):
+    ds = _read(corpus_dir, columns=["text"])
+    ds = ds.map_batches(
+        lambda b: pa.table({"tlen": pa.compute.utf8_length(b.column("text"))}),
+        batch_format="pyarrow",
+    )
+    td = build_sketch(ds, "tlen", lambda: TDigest(200))
+    lens = pa.compute.utf8_length(
+        pq.ParquetDataset(corpus_dir).read(columns=["text"])["text"]
+    ).to_numpy()
+    s = np.sort(lens)
+    for q in (0.25, 0.5, 0.9):
+        rank = np.searchsorted(s, td.quantile(q)) / len(s)
+        assert abs(rank - q) <= 0.02
+
+
+def test_keyed_sketch_per_lang(corpus_dir, ray_session):
+    ds = _read(corpus_dir, columns=["lang", "url"])
+    tbl = build_keyed_sketch(ds, "lang", "url", lambda: HyperLogLog(12))
+    sketches = sketch_table_to_dict(tbl, "lang")
+    full = pq.ParquetDataset(corpus_dir).read(columns=["lang", "url"])
+    langs = np.asarray(full["lang"].combine_chunks())
+    urls = np.asarray(full["url"].combine_chunks())
+    for lang, sk in sketches.items():
+        exact = len(set(urls[langs == lang]))
+        assert abs(sk.estimate() - exact) / max(exact, 1) < 3 * sk.rel_error + 0.05
+        # bitwise identical to a single-process per-lang build
+        oracle = HyperLogLog(12)
+        oracle.update_column(pa.array(urls[langs == lang]))
+        assert np.array_equal(sk.registers, oracle.registers)
+
+
+def test_checkpoint_resume_identity(corpus_dir, tmp_path, ray_session):
+    ds = _read(corpus_dir, columns=["url"])
+    ck = str(tmp_path / "ckpt")
+    pb1, lin1 = checkpointed_partitioned_bloom(ds, "url", N_ROWS, ck, num_shards=16)
+    assert len(finished_shards(ck)) == 16
+    # sabotage: remove three shard files → resume rebuilds exactly those
+    for sid in (2, 7, 11):
+        os.remove(os.path.join(ck, f"shard-{sid:05d}.parquet"))
+    assert len(finished_shards(ck)) == 13
+    pb2, lin2 = checkpointed_partitioned_bloom(ds, "url", N_ROWS, ck, num_shards=16)
+    assert pb2.to_bytes() == pb1.to_bytes()  # resumed build bitwise-identical
+    # mismatched params are refused
+    with pytest.raises(ValueError):
+        checkpointed_partitioned_bloom(ds, "url", N_ROWS, ck, num_shards=32)
+
+
+def test_cms_distributed_bitwise(corpus_dir, ray_session):
+    ds = _read(corpus_dir, columns=["lang"])
+    cms = build_sketch(ds, "lang", lambda: CountMinSketch(width=1024, depth=4))
+    langs = pq.ParquetDataset(corpus_dir).read(columns=["lang"])["lang"].combine_chunks()
+    oracle = CountMinSketch(width=1024, depth=4)
+    oracle.update_column(langs)
+    assert np.array_equal(cms.table, oracle.table)
+    assert cms.total == N_ROWS
