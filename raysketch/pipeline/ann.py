@@ -1,0 +1,190 @@
+"""Approximate nearest-neighbor search over an embedding column.
+
+- **brute-force cosine top-k** (the correctness baseline): the query matrix is
+  broadcast once (``ray.put``), every batch computes one matmul against it, emits
+  only its local top-k per query (small), and a final tiny reduction merges the
+  per-batch top-k lists — bytes moved = O(#blocks × q × k), never the vectors.
+- **IVF** (the scale path): k-means centroids trained on a driver-side sample,
+  broadcast; each batch assigns its vectors to the nearest centroid ("list");
+  queries probe only the ``nprobe`` nearest lists. Trades recall for a
+  ``nprobe/nlist`` scan fraction.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from raysketch.pipeline.dedup import embedding_matrix
+
+
+def _normalize(M: np.ndarray) -> np.ndarray:
+    return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+
+
+class _BatchTopK:
+    """Actor-pool stage: broadcast queries in __init__, per-batch matmul + local top-k."""
+
+    def __init__(self, queries_ref, k: int, emb_col: str, id_col: str):
+        Q = ray.get(queries_ref) if not isinstance(queries_ref, np.ndarray) else queries_ref
+        self.Q = _normalize(np.asarray(Q, dtype=np.float32))
+        self.k = k
+        self.emb_col = emb_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        V = _normalize(embedding_matrix(batch.column(self.emb_col)).astype(np.float32))
+        ids = np.asarray(batch.column(self.id_col))
+        scores = V @ self.Q.T  # (n, q)
+        k = min(self.k, len(ids))
+        top = np.argpartition(-scores, kth=k - 1, axis=0)[:k]  # (k, q)
+        q_idx = np.repeat(np.arange(self.Q.shape[0]), k)
+        v_idx = top.T.ravel()
+        return pa.table(
+            {
+                "query_id": pa.array(q_idx.astype(np.int64)),
+                self.id_col: pa.array(ids[v_idx].astype(np.int64)),
+                "score": pa.array(scores[v_idx, q_idx].astype(np.float64)),
+            }
+        )
+
+
+def ann_cosine_topk(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    concurrency: int | tuple = (1, 8),
+) -> pa.Table:
+    """Exact cosine top-k per query via distributed partial top-k + final merge.
+    Returns ``(query_id, vec_id, score)`` sorted by (query_id, -score, vec_id)."""
+    qref = ray.put(np.asarray(queries, dtype=np.float32))
+    partials = ds.select_columns([id_col, emb_col]).map_batches(
+        _BatchTopK,
+        fn_constructor_kwargs={"queries_ref": qref, "k": k, "emb_col": emb_col, "id_col": id_col},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        zero_copy_batch=True,
+    )
+    rows = partials.take_all()  # O(#blocks × q × k) — small
+    by_q: dict[int, list] = {}
+    for r in rows:
+        # heap on (score, -vec_id) → ties broken toward the smaller id
+        heapq.heappush(by_q.setdefault(r["query_id"], []), (r["score"], -r[id_col]))
+        if len(by_q[r["query_id"]]) > k:
+            heapq.heappop(by_q[r["query_id"]])
+    out_q, out_v, out_s = [], [], []
+    for q in sorted(by_q):
+        best = sorted(by_q[q], key=lambda t: (-t[0], -t[1]))
+        for s, negid in best:
+            out_q.append(q)
+            out_v.append(-negid)
+            out_s.append(s)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            id_col: pa.array(out_v, pa.int64()),
+            "score": pa.array(out_s, pa.float64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF
+# ---------------------------------------------------------------------------
+
+
+def train_centroids(ds, emb_col: str, nlist: int, sample_rows: int = 10000, iters: int = 10, seed: int = 9) -> np.ndarray:
+    """Lightweight k-means on a driver-side sample (the model-training step is
+    sample-sized by design; assignment stays distributed)."""
+    sample = ds.select_columns([emb_col]).limit(sample_rows).take_all()
+    X = _normalize(
+        np.stack([np.asarray(r[emb_col], dtype=np.float32) for r in sample])
+    )
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(nlist, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(len(C)):
+            m = assign == c
+            if m.any():
+                C[c] = X[m].mean(axis=0)
+        C = _normalize(C)
+    return C
+
+
+class _IVFAssign:
+    def __init__(self, centroids_ref, emb_col: str):
+        C = ray.get(centroids_ref) if not isinstance(centroids_ref, np.ndarray) else centroids_ref
+        self.C = C
+        self.emb_col = emb_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        V = _normalize(embedding_matrix(batch.column(self.emb_col)).astype(np.float32))
+        lst = np.argmax(V @ self.C.T, axis=1)
+        return batch.append_column("ivf_list", pa.array(lst.astype(np.int32)))
+
+
+def ann_ivf_topk(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    concurrency: int | tuple = (1, 8),
+) -> pa.Table:
+    """IVF-bucketed ANN: scan only the ``nprobe`` nearest inverted lists per query.
+    Same output schema as ``ann_cosine_topk`` (recall < 1 by design)."""
+    C = train_centroids(ds, emb_col, nlist)
+    cref = ray.put(C)
+    assigned = ds.select_columns([id_col, emb_col]).map_batches(
+        _IVFAssign,
+        fn_constructor_kwargs={"centroids_ref": cref, "emb_col": emb_col},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        zero_copy_batch=True,
+    )
+    Q = _normalize(np.asarray(queries, dtype=np.float32))
+    probe_lists = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # (q, nprobe)
+    wanted = np.unique(probe_lists)
+
+    def filter_lists(batch: pa.Table) -> pa.Table:
+        lst = np.asarray(batch.column("ivf_list"))
+        return batch.filter(pa.array(np.isin(lst, wanted)))
+
+    pruned = assigned.map_batches(filter_lists, batch_format="pyarrow", zero_copy_batch=True)
+    # reuse the brute-force partial top-k over the pruned subset, then mask each
+    # query's results to its probed lists at merge time
+    qref = ray.put(Q)
+    partials = pruned.map_batches(
+        _BatchTopK,
+        fn_constructor_kwargs={"queries_ref": qref, "k": k, "emb_col": emb_col, "id_col": id_col},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        zero_copy_batch=True,
+    )
+    rows = partials.take_all()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        heapq.heappush(by_q.setdefault(r["query_id"], []), (r["score"], -r[id_col]))
+        if len(by_q[r["query_id"]]) > k:
+            heapq.heappop(by_q[r["query_id"]])
+    out_q, out_v, out_s = [], [], []
+    for q in sorted(by_q):
+        for s, negid in sorted(by_q[q], key=lambda t: (-t[0], -t[1])):
+            out_q.append(q)
+            out_v.append(-negid)
+            out_s.append(s)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            id_col: pa.array(out_v, pa.int64()),
+            "score": pa.array(out_s, pa.float64()),
+        }
+    )

@@ -1,0 +1,93 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` + typed metadata.
+
+The decode step is STUBBED (image/audio libraries are not in this container — task
+mandate): ``decode=`deterministic_fake``` produces a seeded fake decode so the
+Ray-side plumbing (schema, batch sizing, actor-pool signature, output layout) is
+real and tested; ``decode="strict"`` raises NotImplementedError at the exact point
+a real decoder (PIL/libsndfile/ffmpeg) would plug in.
+
+Design notes for 100 TB: binary payloads dominate block size — stages here use
+small ``batch_size`` (the caller should also raise ``target_max_block_size`` if
+rows are megabyte-scale), drop the payload column as soon as features are
+extracted, and run decode in an actor pool so any model/codec init happens once
+per actor.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from raysketch.hashing import column_spans, xxh64_vec
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("media_type", pa.string()),  # "image" | "audio" | "video"
+        ("payload", pa.binary()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("duration_ms", pa.int32()),
+    ]
+)
+
+
+def gen_media_table(rows: int = 256, seed: int = 11) -> pa.Table:
+    """Deterministic fake media fixture (payload = seeded bytes)."""
+    rng = np.random.default_rng(seed)
+    types = np.array(["image", "audio", "video"])[rng.integers(0, 3, rows)]
+    payloads = [rng.integers(0, 256, size=int(rng.integers(64, 512)), dtype=np.uint8).tobytes() for _ in range(rows)]
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(rows, dtype=np.int64)),
+            "media_type": pa.array(types.tolist()),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "width": pa.array(rng.integers(16, 256, rows).astype(np.int32)),
+            "height": pa.array(rng.integers(16, 256, rows).astype(np.int32)),
+            "duration_ms": pa.array(rng.integers(0, 10000, rows).astype(np.int32)),
+        }
+    )
+
+
+class DecodeAndFeaturize:
+    """Actor-pool stage: payload binary → fixed-dim feature vector + metadata.
+
+    Real pipeline shape: decoder/model handles load once in ``__init__``; per-batch
+    work is vectorized. The fake decode derives a deterministic ``feat_dim``-dim
+    float vector from xxh64 rolling hashes of the payload bytes, so outputs are
+    stable across retries/partitioning (required for checkpoint determinism)."""
+
+    def __init__(self, feat_dim: int = 32, decode: str = "deterministic_fake"):
+        if decode not in ("deterministic_fake", "strict"):
+            raise ValueError("decode must be 'deterministic_fake' or 'strict'")
+        self.feat_dim = feat_dim
+        self.decode = decode
+        # a real implementation would do: self.model = load_model(...); here the
+        # per-actor state is the per-dimension seed vector
+        self.seeds = np.arange(feat_dim, dtype=np.uint64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.decode == "strict":
+            raise NotImplementedError(
+                "real media decode requires PIL/libsndfile/ffmpeg, absent in this environment"
+            )
+        payload = batch.column("payload").combine_chunks()
+        data, starts, lengths = column_spans(payload)
+        feats = np.empty((len(payload), self.feat_dim), dtype=np.float32)
+        for d in range(self.feat_dim):
+            h = xxh64_vec(data, starts, lengths, int(self.seeds[d]))
+            feats[:, d] = (h >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+        out = batch.drop_columns(["payload"])  # payload dropped at first opportunity
+        return out.append_column("features", pa.array(list(feats)))
+
+
+def media_features(ds, feat_dim: int = 32, concurrency: int | tuple = (1, 4), batch_size: int = 64):
+    """Decode+featurize pipeline over a media dataset (small batches: binary rows)."""
+    return ds.map_batches(
+        DecodeAndFeaturize,
+        fn_constructor_kwargs={"feat_dim": feat_dim},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+        zero_copy_batch=True,
+    )

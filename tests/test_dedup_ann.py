@@ -1,0 +1,214 @@
+"""Dedup, similarity-search, multimodal-plumbing and windowed-events tests."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from raysketch.pipeline.ann import ann_cosine_topk, ann_ivf_topk
+from raysketch.pipeline.dedup import (
+    embedding_cosine_dedup,
+    embedding_matrix,
+    exact_dedup,
+    minhash_lsh_dedup,
+    minhash_signatures,
+    ngram_jaccard,
+    signature_jaccard,
+    simhash64,
+    simhash_dedup,
+)
+from raysketch.pipeline.events import sessionize, tumbling_window_agg
+from raysketch.pipeline.multimodal import DecodeAndFeaturize, gen_media_table, media_features
+
+
+def _docs_table():
+    base = [
+        "the quick brown fox jumps over the lazy dog and runs far away today",
+        "completely different text about distributed data processing systems at scale",
+        "a third unrelated document mentioning sketches filters and hyperloglog counting",
+    ]
+    rows = []
+    i = 0
+    for b in base:
+        for rep in range(3):  # three exact copies of each
+            rows.append({"doc_id": i, "text": b})
+            i += 1
+    # near-dup: one-word change of base[0]
+    rows.append({"doc_id": i, "text": base[0].replace("lazy", "sleepy")})
+    i += 1
+    # unique docs
+    for j in range(20):
+        rows.append({"doc_id": i, "text": f"unique filler document number {j} with words w{j}a w{j}b w{j}c w{j}d w{j}e"})
+        i += 1
+    return pa.Table.from_pylist(rows)
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    return rd.from_arrow(_docs_table()).repartition(4)
+
+
+def test_exact_dedup(docs_ds):
+    out = exact_dedup(docs_ds).take_all()
+    texts = [r["text"] for r in out]
+    assert len(texts) == len(set(texts))  # one row per distinct text
+    assert len(texts) == 3 + 1 + 20
+    # survivor of each duplicate group is the min doc_id
+    by_text = {r["text"]: r["doc_id"] for r in out}
+    tbl = _docs_table()
+    for t, mn in pd.DataFrame(tbl.to_pydict()).groupby("text")["doc_id"].min().items():
+        assert by_text[t] == mn
+
+
+def test_minhash_signature_jaccard_sane():
+    texts = pa.array(
+        [
+            "the quick brown fox jumps over the lazy dog and runs far away",
+            "the quick brown fox jumps over the sleepy dog and runs far away",
+            "totally different words here about nothing related at all whatsoever",
+        ]
+    )
+    sig = minhash_signatures(texts, n_perm=128)
+    near = signature_jaccard(sig[0], sig[1])
+    far = signature_jaccard(sig[0], sig[2])
+    assert near > 0.5 and far < 0.2
+    exact_near = ngram_jaccard(texts[0].as_py(), texts[1].as_py())
+    assert abs(near - exact_near) < 0.25  # estimator within sampling error
+
+
+def test_minhash_lsh_dedup_clusters(docs_ds):
+    out = minhash_lsh_dedup(docs_ds, threshold=0.7)
+    df = out.to_pandas()
+    # the three exact-copy groups must be clustered with min-id as cluster id
+    clusters = df.groupby("cluster_id")["doc_id"].apply(set).to_dict()
+    assert {0, 1, 2}.issubset(clusters.get(0, set()))  # copies of base[0] (+ near-dup maybe)
+    assert clusters.get(3, set()) >= {3, 4, 5}
+    assert clusters.get(6, set()) >= {6, 7, 8}
+    # unique fillers must NOT be clustered
+    assert not (df["doc_id"] >= 10).any()
+
+
+def test_simhash_dedup(docs_ds):
+    fp = simhash64(pa.array(["same words here entirely", "same words here entirely", "other thing"]))
+    assert fp[0] == fp[1] and fp[0] != fp[2]
+    out = simhash_dedup(docs_ds, max_hamming=3).to_pandas()
+    clusters = out.groupby("cluster_id")["doc_id"].apply(set).to_dict()
+    assert {0, 1, 2}.issubset(clusters.get(0, set()))
+
+
+def _emb_table(n=200, d=16, seed=3):
+    rng = np.random.default_rng(seed)
+    V = rng.normal(size=(n, d)).astype(np.float32)
+    if n > 10:
+        V[10] = V[0] + rng.normal(scale=1e-3, size=d)  # near-dup pair (0, 10)
+    return pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(list(V)),
+            "label": pa.array(np.zeros(n, dtype=np.int32)),
+        }
+    )
+
+
+def test_embedding_matrix_zero_copy():
+    tbl = _emb_table(5, 4)
+    M = embedding_matrix(tbl.column("embedding"))
+    assert M.shape == (5, 4)
+    assert np.allclose(M[1], np.asarray(tbl.column("embedding")[1].as_py()))
+
+
+def test_embedding_cosine_dedup(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(_emb_table()).repartition(3)
+    out = embedding_cosine_dedup(ds, threshold=0.99).to_pandas()
+    pairs = set(zip(out["vec_id"], out["cluster_id"]))
+    assert (0, 0) in pairs and (10, 0) in pairs
+
+
+def test_ann_brute_force_matches_numpy(ray_session):
+    import ray.data as rd
+
+    tbl = _emb_table(300, 16)
+    ds = rd.from_arrow(tbl).repartition(4)
+    rng = np.random.default_rng(8)
+    Q = rng.normal(size=(3, 16)).astype(np.float32)
+    got = ann_cosine_topk(ds, Q, k=5).to_pandas()
+    V = embedding_matrix(tbl.column("embedding"))
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    scores = Vn @ Qn.T
+    for q in range(3):
+        expect = set(np.argsort(-scores[:, q])[:5].tolist())
+        have = set(got[got["query_id"] == q]["vec_id"].tolist())
+        assert have == expect
+
+
+def test_ann_ivf_recall(ray_session):
+    import ray.data as rd
+
+    tbl = _emb_table(400, 16, seed=5)
+    ds = rd.from_arrow(tbl).repartition(4)
+    rng = np.random.default_rng(9)
+    Q = rng.normal(size=(4, 16)).astype(np.float32)
+    exact = ann_cosine_topk(ds, Q, k=5).to_pandas()
+    approx = ann_ivf_topk(ds, Q, k=5, nlist=8, nprobe=4).to_pandas()
+    # recall@5 with half the lists probed should be decent
+    recalls = []
+    for q in range(4):
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        a = set(approx[approx["query_id"] == q]["vec_id"])
+        recalls.append(len(e & a) / 5)
+    assert np.mean(recalls) >= 0.5
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data as rd
+
+    tbl = gen_media_table(64)
+    ds = rd.from_arrow(tbl).repartition(2)
+    out = media_features(ds, feat_dim=8).take_all()
+    assert len(out) == 64
+    assert all(len(r["features"]) == 8 for r in out)
+    assert "payload" not in out[0]
+    # determinism across independent runs (retry-safety)
+    out2 = media_features(rd.from_arrow(tbl), feat_dim=8).take_all()
+    f1 = {r["media_id"]: tuple(r["features"]) for r in out}
+    f2 = {r["media_id"]: tuple(r["features"]) for r in out2}
+    assert f1 == f2
+    with pytest.raises(NotImplementedError):
+        DecodeAndFeaturize(decode="strict")(tbl.slice(0, 4))
+
+
+def test_tumbling_window_matches_pandas(ray_session):
+    import ray.data as rd
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    got = tumbling_window_agg(ds, window_s=3600).to_pandas()
+    import pyarrow.parquet as pq
+
+    df = pq.read_table("/root/testdata/sf0.001/events.parquet").to_pandas()
+    # pandas 2.x keeps timestamp[us] → int64 view is microseconds
+    df["window_start"] = (df["ts"].astype("int64") // 10**6 // 3600) * 3600
+    exp = (
+        df.groupby(["event_type", "window_start"])["value"]
+        .agg(["count", "sum", "min", "max"])
+        .reset_index()
+    )
+    merged = got.merge(exp, on=["event_type", "window_start"], how="outer")
+    assert len(merged) == len(exp) == len(got)
+    assert (merged["n_events"] == merged["count"]).all()
+    assert np.allclose(merged["sum_value"], merged["sum"])
+    assert np.allclose(merged["min_value"], merged["min"])
+
+
+def test_sessionize(ray_session):
+    import ray.data as rd
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    out = sessionize(ds, gap_s=3600).to_pandas()
+    assert (out["n_sessions"] >= 1).all()
+    assert (out["n_sessions"] <= out["n_events"]).all()
+    assert out["n_events"].sum() == 1000
