@@ -254,16 +254,23 @@ def murmur3_32_vec(
     if n == 0:
         return np.empty(0, dtype=np.uint32)
     nblocks = (lengths // 4).astype(np.int64)
-    # sort rows by descending block count → iteration j touches prefix [0:cnt_j)
-    order = np.argsort(-nblocks, kind="stable")
-    sb = starts[order]
-    nb = nblocks[order]
-    nb_asc = nb[::-1]
+    uniform = bool((lengths == lengths[0]).all())  # fixed-width fast path: no sort
+    if uniform:
+        order = None
+        sb = starts
+        nb = nblocks
+        nb_asc = nb
+    else:
+        # sort rows by descending block count → iteration j touches prefix [0:cnt_j)
+        order = np.argsort(-nblocks, kind="stable")
+        sb = starts[order]
+        nb = nblocks[order]
+        nb_asc = nb[::-1]
     h = np.full(n, _U32(seed & _MASK32), dtype=np.uint32)
-    maxb = int(nb[0]) if n else 0
+    maxb = int(nb.max()) if n else 0
     with np.errstate(over="ignore"):
         for j in range(maxb):
-            cnt = n - int(np.searchsorted(nb_asc, j, side="right"))
+            cnt = n if uniform else n - int(np.searchsorted(nb_asc, j, side="right"))
             idx = sb[:cnt] + 4 * j
             k = _gather_u32(data, idx)
             k *= _M3_C1
@@ -275,7 +282,7 @@ def murmur3_32_vec(
             hh = hh * _U32(5) + _U32(0xE6546B64)
             h[:cnt] = hh
         # tail (1-3 remaining bytes); same switch-fallthrough semantics as the spec
-        sl = lengths[order]
+        sl = lengths if uniform else lengths[order]
         rem = (sl - nb * 4).astype(np.int64)
         has_tail = rem > 0
         if has_tail.any():
@@ -301,6 +308,8 @@ def murmur3_32_vec(
         h ^= h >> _U32(13)
         h *= _U32(0xC2B2AE35)
         h ^= h >> _U32(16)
+    if uniform:
+        return h
     out = np.empty(n, dtype=np.uint32)
     out[order] = h
     return out
@@ -329,12 +338,18 @@ def xxh64_vec(
     long_mask = lengths >= 32
     nstripes = np.where(long_mask, nstripes, 0)
 
-    order = np.argsort(-nstripes, kind="stable")
-    sb = starts[order]
-    sl = lengths[order]
-    ns = nstripes[order]
-    ns_asc = ns[::-1]
-    lm = long_mask[order]
+    uniform = bool((lengths == lengths[0]).all())  # fixed-width fast path: no sort
+    if uniform:
+        order = None
+        sb, sl, ns, lm = starts, lengths, nstripes, long_mask
+        ns_asc = ns
+    else:
+        order = np.argsort(-nstripes, kind="stable")
+        sb = starts[order]
+        sl = lengths[order]
+        ns = nstripes[order]
+        ns_asc = ns[::-1]
+        lm = long_mask[order]
 
     with np.errstate(over="ignore"):
         h = np.full(n, seed64 + _XX_P5, dtype=np.uint64)
@@ -344,9 +359,9 @@ def xxh64_vec(
             a2 = np.full(nlong, seed64 + _XX_P2, dtype=np.uint64)
             a3 = np.full(nlong, seed64, dtype=np.uint64)
             a4 = np.full(nlong, seed64 - _XX_P1, dtype=np.uint64)
-            maxs = int(ns[0])
+            maxs = int(ns.max())
             for j in range(maxs):
-                cnt = n - int(np.searchsorted(ns_asc, j, side="right"))
+                cnt = n if uniform else n - int(np.searchsorted(ns_asc, j, side="right"))
                 base = sb[:cnt] + 32 * j
                 a1[:cnt] = _xx_round_vec(a1[:cnt], _gather_u64(data, base))
                 a2[:cnt] = _xx_round_vec(a2[:cnt], _gather_u64(data, base + 8))
@@ -360,21 +375,39 @@ def xxh64_vec(
         # tail: per-row cursor past the stripes
         p = sb + ns * 32
         ends = sb + sl
-        # up to 3 8-byte rounds
+        # up to 3 8-byte rounds (whole-array fast path when every row qualifies)
         for _ in range(3):
-            act = np.nonzero(ends - p >= 8)[0]
+            cond = ends - p >= 8
+            if cond.all():
+                k = _xx_round_vec(np.zeros(n, dtype=np.uint64), _gather_u64(data, p))
+                h = _rotl64(h ^ k, 27) * _XX_P1 + _XX_P4
+                p = p + 8
+                continue
+            act = np.nonzero(cond)[0]
             if len(act) == 0:
                 break
             k = _xx_round_vec(np.zeros(len(act), dtype=np.uint64), _gather_u64(data, p[act]))
             h[act] = _rotl64(h[act] ^ k, 27) * _XX_P1 + _XX_P4
             p[act] += 8
-        act = np.nonzero(ends - p >= 4)[0]
-        if len(act):
-            k = _gather_u32(data, p[act]).astype(np.uint64) * _XX_P1
-            h[act] = _rotl64(h[act] ^ k, 23) * _XX_P2 + _XX_P3
-            p[act] += 4
+        cond = ends - p >= 4
+        if cond.all():
+            k = _gather_u32(data, p).astype(np.uint64) * _XX_P1
+            h = _rotl64(h ^ k, 23) * _XX_P2 + _XX_P3
+            p = p + 4
+        else:
+            act = np.nonzero(cond)[0]
+            if len(act):
+                k = _gather_u32(data, p[act]).astype(np.uint64) * _XX_P1
+                h[act] = _rotl64(h[act] ^ k, 23) * _XX_P2 + _XX_P3
+                p[act] += 4
         for _ in range(3):
-            act = np.nonzero(ends > p)[0]
+            cond = ends > p
+            if cond.all():
+                k = data[p].astype(np.uint64) * _XX_P5
+                h = _rotl64(h ^ k, 11) * _XX_P1
+                p = p + 1
+                continue
+            act = np.nonzero(cond)[0]
             if len(act) == 0:
                 break
             k = data[p[act]].astype(np.uint64) * _XX_P5
@@ -385,6 +418,8 @@ def xxh64_vec(
         h ^= h >> _U64(29)
         h *= _XX_P3
         h ^= h >> _U64(32)
+    if uniform:
+        return h
     out = np.empty(n, dtype=np.uint64)
     out[order] = h
     return out

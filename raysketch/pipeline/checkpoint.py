@@ -167,7 +167,7 @@ def load_partitioned_bloom(ckpt_dir: str) -> tuple[PartitionedBloom, pa.Table]:
     rows = []
     for sid in range(num_shards):
         tbl = pq.read_table(_shard_path(ckpt_dir, sid))
-        pb.shards[sid] = BloomSketch.from_bytes(tbl.column("state")[0].as_py())
+        pb.set_shard(sid, BloomSketch.from_bytes(tbl.column("state")[0].as_py()))
         rows.append(tbl.drop_columns(["state"]))
     lineage = pa.concat_tables(rows)
     return pb, lineage

@@ -1,33 +1,70 @@
 """Deduplication pipelines over a document table.
 
-All Ray-Data-first (SURVEY.md §2.4 "Set ops / dedup" + task mandate):
+All Ray-Data-first (SURVEY.md §2.4 "Set ops / dedup" + task mandate), designed so
+no stage makes a Python call per GROUP (Ray's ``map_groups`` costs a UDF call per
+group — fatal when most groups are singletons, which is the dedup regime):
 
-- **exact_dedup**: vectorized xxh64 content fingerprint → ``groupby(fingerprint)``
-  → keep the min-id row per group. The only row shuffle is over the (tiny)
-  fingerprint column + id, not document bodies, when ``payload=False``.
+- **exact_dedup**: vectorized xxh64 content fingerprint → native
+  ``groupby(fp).aggregate(Min(id))`` (Arrow-vectorized) → hash **join** of the
+  winner ids back to the input. Shuffled payload: fingerprints + ids, then one
+  row per survivor.
 - **minhash_lsh_dedup**: word-shingle → n_perm MinHash (vectorized: one hash pass
-  over every shingle of the batch, ``(a·h+b)`` permutations, ``minimum.reduceat``
-  per doc) → band → ``groupby(band, band_hash)`` candidate buckets → signature-
-  Jaccard verify → min-label clustering.
-- **simhash_dedup**: 64-bit SimHash per doc, Hamming-≤r candidates via 4×16-bit
-  band buckets, verified by exact Hamming distance.
-- **ngram_jaccard_verify**: exact shingle-set Jaccard for candidate pairs.
-- **embedding_cosine_dedup**: random-hyperplane bucket (embedding SimHash) →
-  within-bucket cosine verify ≥ threshold.
+  over every shingle of the batch, ``(a·h+b) mod M61`` permutations,
+  ``minimum.reduceat`` per doc) → band-salted bucket key (NARROW: two int64s per
+  (doc, band) — signatures never cross the wire) → native count → hot buckets
+  broadcast → candidate collect → **exact n-gram Jaccard verify** on just the
+  candidates' texts → min-label union-find.
+- **simhash_dedup**: 64-bit SimHash, 4×16-bit band buckets (pigeonhole: Hamming ≤3
+  ⟹ some band equal), hot buckets via native count, exact Hamming verify.
+- **embedding_cosine_dedup**: random-hyperplane bucket key → hot buckets via
+  native count → within-bucket cosine verify ≥ threshold.
 
 The Bloom anti-join (probe.py) complements these: a key reported absent is
-DEFINITELY new (no false negatives) — the exact-negative dedup of SURVEY.md §2.4.
+DEFINITELY new (no false negatives) — exact-negative dedup.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
-from raysketch.hashing import column_spans, hash_column, murmur3_32_vec, xxh64_vec
+from raysketch.hashing import hash_column, xxh64_vec
 
 _MERSENNE61 = np.uint64((1 << 61) - 1)
+
+
+def _spans_of_bytes(items: list[bytes]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    lengths = np.fromiter((len(b) for b in items), count=len(items), dtype=np.int64)
+    starts = np.zeros(len(items), dtype=np.int64)
+    if len(items) > 1:
+        np.cumsum(lengths[:-1], out=starts[1:])
+    data = np.frombuffer(b"".join(items), dtype=np.uint8)
+    return data, starts, lengths
+
+
+def _clusters_from_edges(edges: list[tuple[int, int]]) -> pa.Table:
+    """Union-find min-label clustering of a (small, verified) edge list."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    members = sorted({x for e in edges for x in e})
+    return pa.table(
+        {
+            "doc_id": pa.array(members, pa.int64()),
+            "cluster_id": pa.array([find(m) for m in members], pa.int64()),
+        }
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -35,27 +72,58 @@ _MERSENNE61 = np.uint64((1 << 61) - 1)
 # ---------------------------------------------------------------------------
 
 
-def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+def exact_dedup(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 16,
+    strategy: str = "auto",
+):
     """Keep exactly one row (the minimum ``id_col``) per distinct ``text_col``.
 
-    Hash-partitioned: rows are grouped by the 64-bit content fingerprint, so equal
-    texts co-locate; within a group the min-id row survives. Collision probability
-    at 64 bits is ~n²/2⁶⁵ — negligible below ~10⁹ docs; use a 128-bit pair of
-    fingerprints beyond that."""
+    Winner selection is a native (Arrow-vectorized) ``groupby(fp).min(id)`` over
+    narrow (fp, id) rows — document bodies never enter the shuffle. The winner
+    rows are then recovered either by a broadcast id filter (``strategy="broadcast"``,
+    right when the winner-id list fits the object store comfortably) or a hash
+    join (``strategy="join"``, the 10^9+-winners regime). ``auto`` picks broadcast
+    under 5M winners. 64-bit fingerprint collisions are ~n²/2⁶⁵ — negligible below
+    ~10⁹ docs; use a 128-bit fingerprint pair beyond that."""
+    from ray.data.aggregate import Min
 
     def add_fp(batch: pa.Table) -> pa.Table:
         h = hash_column(batch.column(text_col).combine_chunks(), algo="xxh64", seed=0)
-        return batch.append_column("__fp", pa.array(h.astype(np.int64)))  # groupby-friendly
+        return pa.table(
+            {"__fp": pa.array(h.astype(np.int64)), id_col: batch.column(id_col)}
+        )
 
-    def keep_first(group: pa.Table) -> pa.Table:
-        ids = np.asarray(group.column(id_col))
-        return group.take([int(np.argmin(ids))]).drop_columns(["__fp"])
-
-    return (
+    winners = (
         ds.map_batches(add_fp, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("__fp")
-        .map_groups(keep_first, batch_format="pyarrow")
+        .aggregate(Min(id_col, alias_name="__winner"))
+        .select_columns(["__winner"])
+        .map_batches(
+            lambda b: pa.table({id_col: b.column("__winner")}), batch_format="pyarrow"
+        )
     )
+    if strategy == "auto":
+        winners = winners.materialize()
+        strategy = "broadcast" if winners.count() <= 5_000_000 else "join"
+    if strategy == "broadcast":
+        import ray
+
+        ids = np.sort(
+            np.array([r[id_col] for r in winners.take_all()], dtype=np.int64)
+        )
+        ref = ray.put(ids)
+
+        def keep_winners(batch: pa.Table) -> pa.Table:
+            w = ray.get(ref)
+            vals = np.asarray(batch.column(id_col))
+            idx = np.clip(np.searchsorted(w, vals), 0, len(w) - 1)
+            return batch.filter(pa.array(w[idx] == vals))
+
+        return ds.map_batches(keep_winners, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.join(winners, "inner", num_partitions, on=(id_col,))
 
 
 # ---------------------------------------------------------------------------
@@ -66,9 +134,8 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
 def _word_shingle_hashes(texts: pa.Array, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
     """All word k-shingles of every doc, hashed (xxh64) in ONE vectorized pass.
 
-    Returns ``(hashes, doc_offsets)`` with doc i owning
-    ``hashes[doc_offsets[i]:doc_offsets[i+1]]``. Tokenization is the only per-doc
-    Python; hashing is batched over the concatenated shingle bytes."""
+    Returns ``(hashes, doc_offsets)``; doc i owns ``hashes[off[i]:off[i+1]]``.
+    Tokenization is the only per-doc Python; hashing is batched."""
     tok_lists = [t.split() if t else [] for t in texts.to_pylist()]
     shingles: list[bytes] = []
     counts = np.zeros(len(tok_lists) + 1, dtype=np.int64)
@@ -82,18 +149,12 @@ def _word_shingle_hashes(texts: pa.Array, k: int = 3) -> tuple[np.ndarray, np.nd
         shingles.extend(sh)
         counts[i + 1] = len(sh)
     offsets = np.cumsum(counts)
-    lengths = np.fromiter((len(s) for s in shingles), count=len(shingles), dtype=np.int64)
-    starts = np.zeros(len(shingles), dtype=np.int64)
-    if len(shingles) > 1:
-        np.cumsum(lengths[:-1], out=starts[1:])
-    data = np.frombuffer(b"".join(shingles), dtype=np.uint8)
+    data, starts, lengths = _spans_of_bytes(shingles)
     return xxh64_vec(data, starts, lengths, 0), offsets
 
 
 def minhash_signatures(texts: pa.Array, n_perm: int = 128, k: int = 3, seed: int = 7) -> np.ndarray:
-    """(n_docs, n_perm) uint64 MinHash signatures via universal-hash permutations
-    ``(a·h + b) mod 2⁶¹−1`` and a per-permutation ``minimum.reduceat`` over each
-    doc's shingle segment."""
+    """(n_docs, n_perm) uint64 MinHash signatures."""
     hashes, offsets = _word_shingle_hashes(texts, k)
     n_docs = len(offsets) - 1
     rng = np.random.default_rng(seed)
@@ -103,7 +164,7 @@ def minhash_signatures(texts: pa.Array, n_perm: int = 128, k: int = 3, seed: int
     starts = offsets[:-1]
     with np.errstate(over="ignore"):
         h61 = hashes % _MERSENNE61
-        for p in range(n_perm):  # n_perm vector ops over all shingles of the batch
+        for p in range(n_perm):
             perm = (a[p] * h61 + b[p]) % _MERSENNE61
             sig[:, p] = np.minimum.reduceat(perm, starts) if len(perm) else 0
     empty = offsets[1:] == offsets[:-1]
@@ -113,8 +174,63 @@ def minhash_signatures(texts: pa.Array, n_perm: int = 128, k: int = 3, seed: int
 
 
 def signature_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> np.ndarray:
-    """Estimated Jaccard = fraction of agreeing MinHash coordinates."""
     return (sig_a == sig_b).mean(axis=-1)
+
+
+def _band_keys(sig: np.ndarray, bands: int) -> np.ndarray:
+    """(n_docs, bands) int64 band-salted bucket keys (xxh64 of each band's rows;
+    the band index is folded into the seed so one ``key`` column suffices)."""
+    n, n_perm = sig.shape
+    rows_per_band = n_perm // bands
+    keys = np.empty((n, bands), dtype=np.int64)
+    for bnd in range(bands):
+        seg = np.ascontiguousarray(sig[:, bnd * rows_per_band : (bnd + 1) * rows_per_band])
+        raw = seg.view(np.uint8).reshape(n, -1)
+        starts = np.arange(n, dtype=np.int64) * raw.shape[1]
+        lengths = np.full(n, raw.shape[1], dtype=np.int64)
+        keys[:, bnd] = xxh64_vec(raw.ravel(), starts, lengths, 1000 + bnd).astype(np.int64)
+    return keys
+
+
+def _hot_bucket_members(band_rows, id_col: str, extra_cols: tuple[str, ...] = ()) -> pd.DataFrame:
+    """Native count-agg over bucket keys → broadcast hot keys → collect only the
+    rows that land in buckets with ≥2 members (the candidate set)."""
+    from ray.data.aggregate import Count
+
+    import ray
+
+    band_rows = band_rows.materialize()
+    counts = band_rows.groupby("key").aggregate(Count(alias_name="n"))
+    hot = counts.filter(expr="n > 1")
+    hot_keys = np.array([r["key"] for r in hot.select_columns(["key"]).take_all()], dtype=np.int64)
+    if len(hot_keys) == 0:
+        return pd.DataFrame(columns=["key", id_col, *extra_cols])
+    hot_keys.sort()
+    ref = ray.put(hot_keys)
+
+    def keep_hot(batch: pa.Table) -> pa.Table:
+        hk = ray.get(ref)
+        keys = np.asarray(batch.column("key"))
+        idx = np.searchsorted(hk, keys)
+        idx = np.clip(idx, 0, len(hk) - 1)
+        return batch.filter(pa.array(hk[idx] == keys))
+
+    members = band_rows.map_batches(keep_hot, batch_format="pyarrow", zero_copy_batch=True)
+    return members.to_pandas()
+
+
+def _pairs_from_members(members: pd.DataFrame, id_col: str, max_bucket: int = 256) -> set[tuple[int, int]]:
+    pairs: set[tuple[int, int]] = set()
+    for _, grp in members.groupby("key"):
+        ids = np.unique(grp[id_col].to_numpy())
+        if len(ids) < 2:
+            continue
+        if len(ids) > max_bucket:
+            ids = ids[:max_bucket]  # degenerate bucket cap (logged upstream)
+        for i in range(len(ids) - 1):
+            for j in range(i + 1, len(ids)):
+                pairs.add((int(ids[i]), int(ids[j])))
+    return pairs
 
 
 def minhash_lsh_dedup(
@@ -127,87 +243,43 @@ def minhash_lsh_dedup(
     threshold: float = 0.8,
     seed: int = 7,
 ) -> pa.Table:
-    """Near-duplicate clustering. Returns a small table ``(doc_id, cluster_id)``
-    for every doc that belongs to a near-dup cluster (cluster_id = min doc_id).
+    """Near-duplicate clustering: returns ``(doc_id, cluster_id)`` (cluster_id =
+    min member id) for every doc in a verified near-dup cluster.
 
-    Stages: signature+band rows per doc (flat_map shape) → groupby(band, key) →
-    candidate pairs verified by signature Jaccard ≥ threshold → min-label
-    union-find on the (small) verified edge list."""
-    rows_per_band = n_perm // bands
+    Verification is EXACT n-gram Jaccard ≥ threshold on the candidates' texts
+    (fetched for candidates only via broadcast semi-join), so LSH affects recall
+    but never precision."""
 
-    def sig_and_bands(batch: pa.Table) -> pa.Table:
+    def bandrows(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).combine_chunks()
         ids = np.asarray(batch.column(id_col))
         sig = minhash_signatures(texts, n_perm, shingle_k, seed)
-        n = len(ids)
-        # band key = xxh64 of the band's row bytes
-        band_ids = np.repeat(np.arange(bands, dtype=np.int32), n)
-        doc_ids = np.tile(ids, bands)
-        keys = np.empty(bands * n, dtype=np.uint64)
-        sig_views = []
-        for bnd in range(bands):
-            seg = np.ascontiguousarray(sig[:, bnd * rows_per_band : (bnd + 1) * rows_per_band])
-            raw = seg.view(np.uint8).reshape(n, -1)
-            data = raw.ravel()
-            starts = np.arange(n, dtype=np.int64) * raw.shape[1]
-            lengths = np.full(n, raw.shape[1], dtype=np.int64)
-            keys[bnd * n : (bnd + 1) * n] = xxh64_vec(data, starts, lengths, 0)
-            sig_views.append(seg)
-        sig_blobs = [sig[i].tobytes() for i in range(n)]
+        keys = _band_keys(sig, bands)
         return pa.table(
             {
-                "band": pa.array(band_ids),
-                "key": pa.array(keys.astype(np.int64)),
-                id_col: pa.array(np.tile(ids, bands)),
-                "sig": pa.array(sig_blobs * bands, type=pa.binary()),
+                "key": pa.array(keys.ravel()),
+                id_col: pa.array(np.repeat(ids, bands)),
             }
         )
 
     band_rows = ds.select_columns([id_col, text_col]).map_batches(
-        sig_and_bands, batch_format="pyarrow", zero_copy_batch=True
+        bandrows, batch_format="pyarrow", zero_copy_batch=True
     )
+    members = _hot_bucket_members(band_rows, id_col)
+    pairs = _pairs_from_members(members, id_col)
+    if not pairs:
+        return pa.table({"doc_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())})
 
-    def candidate_pairs(group: pa.Table) -> pa.Table:
-        if group.num_rows < 2:
-            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-        ids = np.asarray(group.column(id_col))
-        order = np.argsort(ids)
-        ids = ids[order]
-        sigs = np.stack(
-            [np.frombuffer(group.column("sig")[int(i)].as_py(), dtype=np.uint64) for i in order]
-        )
-        # verify all pairs in the bucket against the anchor-min doc and each other
-        a_out, b_out = [], []
-        for i in range(len(ids) - 1):
-            jac = signature_jaccard(sigs[i + 1 :], sigs[i])
-            hits = np.nonzero(jac >= threshold)[0]
-            for h in hits:
-                a_out.append(int(ids[i]))
-                b_out.append(int(ids[i + 1 + h]))
-        return pa.table({"a": pa.array(a_out, pa.int64()), "b": pa.array(b_out, pa.int64())})
+    # fetch candidate texts only (broadcast semi-join on ids), verify exactly
+    from raysketch.pipeline.probe import exact_semi_join
 
-    edges = band_rows.groupby(["band", "key"]).map_groups(candidate_pairs, batch_format="pyarrow")
-    edge_rows = edges.take_all()  # verified near-dup edges — small relative to corpus
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    for r in edge_rows:
-        ra, rb = find(r["a"]), find(r["b"])
-        if ra != rb:
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-    members = sorted({x for r in edge_rows for x in (r["a"], r["b"])})
-    return pa.table(
-        {
-            id_col: pa.array(members, pa.int64()),
-            "cluster_id": pa.array([find(m) for m in members], pa.int64()),
-        }
-    )
+    cand_ids = sorted({x for p in pairs for x in p})
+    cand = exact_semi_join(ds.select_columns([id_col, text_col]), cand_ids, id_col).take_all()
+    text_of = {r[id_col]: r[text_col] for r in cand}
+    verified = [
+        (a, b) for a, b in pairs if ngram_jaccard(text_of[a], text_of[b], shingle_k) >= threshold
+    ]
+    return _clusters_from_edges(verified)
 
 
 # ---------------------------------------------------------------------------
@@ -226,15 +298,9 @@ def simhash64(texts: pa.Array, seed: int = 0) -> np.ndarray:
     offsets = np.cumsum(counts)
     if not all_toks:
         return np.zeros(len(tok_lists), dtype=np.uint64)
-    lengths = np.fromiter((len(t) for t in all_toks), count=len(all_toks), dtype=np.int64)
-    starts = np.zeros(len(all_toks), dtype=np.int64)
-    np.cumsum(lengths[:-1], out=starts[1:])
-    data = np.frombuffer(b"".join(all_toks), dtype=np.uint8)
+    data, starts, lengths = _spans_of_bytes(all_toks)
     th = xxh64_vec(data, starts, lengths, seed)
-    # bits → ±1 contributions, summed per doc per bit position
-    bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
-        np.int32
-    )
+    bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int32)
     contrib = 2 * bits - 1
     sums = np.add.reduceat(contrib, offsets[:-1], axis=0)
     empty = offsets[1:] == offsets[:-1]
@@ -248,7 +314,7 @@ def simhash64(texts: pa.Array, seed: int = 0) -> np.ndarray:
 
 def hamming64(a: np.ndarray, b) -> np.ndarray:
     x = np.bitwise_xor(a, b)
-    cnt = np.zeros(a.shape, dtype=np.int64)
+    cnt = np.zeros(np.shape(x), dtype=np.int64)
     for _ in range(64):
         cnt += (x & np.uint64(1)).astype(np.int64)
         x = x >> np.uint64(1)
@@ -262,73 +328,45 @@ def simhash_dedup(
     max_hamming: int = 3,
     seed: int = 0,
 ) -> pa.Table:
-    """Near-dup pairs by SimHash: 4×16-bit band buckets guarantee any pair with
-    Hamming ≤ 3 shares at least one band (pigeonhole); verified exactly within
-    buckets. Returns ``(doc_id, cluster_id)``."""
+    """Near-dup clusters by SimHash: 4×16-bit band buckets (pigeonhole-complete for
+    Hamming ≤ 3), hot buckets via native count, exact Hamming verify."""
 
-    def sim_and_bands(batch: pa.Table) -> pa.Table:
+    def bandrows(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).combine_chunks()
         ids = np.asarray(batch.column(id_col))
         fp = simhash64(texts, seed)
-        n = len(ids)
-        band_ids = np.repeat(np.arange(4, dtype=np.int32), n)
-        keys = np.concatenate(
-            [((fp >> np.uint64(16 * bnd)) & np.uint64(0xFFFF)).astype(np.int64) for bnd in range(4)]
-        )
+        keys = np.empty((len(ids), 4), dtype=np.int64)
+        for bnd in range(4):
+            keys[:, bnd] = (
+                ((fp >> np.uint64(16 * bnd)) & np.uint64(0xFFFF)).astype(np.int64)
+                | (np.int64(bnd + 1) << np.int64(48))
+            )
         return pa.table(
             {
-                "band": pa.array(band_ids),
-                "key": pa.array(keys),
-                id_col: pa.array(np.tile(ids, 4)),
-                "fp": pa.array(np.tile(fp, 4).astype(np.int64)),
+                "key": pa.array(keys.ravel()),
+                id_col: pa.array(np.repeat(ids, 4)),
+                "fp": pa.array(np.repeat(fp, 4).astype(np.int64)),
             }
         )
 
     band_rows = ds.select_columns([id_col, text_col]).map_batches(
-        sim_and_bands, batch_format="pyarrow", zero_copy_batch=True
+        bandrows, batch_format="pyarrow", zero_copy_batch=True
     )
-
-    def pairs(group: pa.Table) -> pa.Table:
-        if group.num_rows < 2:
-            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-        ids = np.asarray(group.column(id_col))
-        order = np.argsort(ids)
-        ids = ids[order]
-        fp = np.asarray(group.column("fp"))[order].astype(np.uint64)
-        a_out, b_out = [], []
+    members = _hot_bucket_members(band_rows, id_col, extra_cols=("fp",))
+    edges: set[tuple[int, int]] = set()
+    for _, grp in members.groupby("key"):
+        grp = grp.drop_duplicates(subset=id_col).sort_values(id_col)
+        ids = grp[id_col].to_numpy()
+        fp = grp["fp"].to_numpy().astype(np.uint64)
         for i in range(len(ids) - 1):
             hd = hamming64(fp[i + 1 :], fp[i])
-            for h in np.nonzero(hd <= max_hamming)[0]:
-                a_out.append(int(ids[i]))
-                b_out.append(int(ids[i + 1 + h]))
-        return pa.table({"a": pa.array(a_out, pa.int64()), "b": pa.array(b_out, pa.int64())})
-
-    edges = band_rows.groupby(["band", "key"]).map_groups(pairs, batch_format="pyarrow")
-    edge_rows = edges.take_all()
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    for r in edge_rows:
-        ra, rb = find(r["a"]), find(r["b"])
-        if ra != rb:
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-    members = sorted({x for r in edge_rows for x in (r["a"], r["b"])})
-    return pa.table(
-        {
-            id_col: pa.array(members, pa.int64()),
-            "cluster_id": pa.array([find(m) for m in members], pa.int64()),
-        }
-    )
+            for hj in np.nonzero(hd <= max_hamming)[0]:
+                edges.add((int(ids[i]), int(ids[i + 1 + hj])))
+    return _clusters_from_edges(sorted(edges))
 
 
 # ---------------------------------------------------------------------------
-# exact n-gram jaccard (verification oracle for the LSH path)
+# exact n-gram jaccard (the verification oracle for the LSH path)
 # ---------------------------------------------------------------------------
 
 
@@ -347,8 +385,8 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
 
 
 def embedding_matrix(col) -> np.ndarray:
-    """(n, d) float32 matrix from an Arrow list<float> column — zero-copy reshape
-    of the flat values buffer (assumes fixed-length lists)."""
+    """(n, d) float matrix from an Arrow list<float> column — zero-copy reshape of
+    the flat values buffer (fixed-length lists)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     values = np.asarray(col.values)
@@ -368,69 +406,38 @@ def embedding_cosine_dedup(
     threshold: float = 0.95,
     n_planes: int = 16,
     seed: int = 5,
-    dim: int | None = None,
 ) -> pa.Table:
-    """Near-dup pairs among embeddings: random-hyperplane LSH bucket (n_planes-bit
-    key) then exact cosine ≥ threshold within buckets. Returns (id, cluster_id)."""
-    rng = np.random.default_rng(seed)
-    planes_by_dim: dict[int, np.ndarray] = {}
+    """Near-dup clusters among embeddings: random-hyperplane LSH bucket key, hot
+    buckets via native count, exact cosine ≥ threshold verify. Output column names
+    are (doc_id, cluster_id) for uniformity."""
 
     def bucket(batch: pa.Table) -> pa.Table:
-        V = embedding_matrix(batch.column(emb_col))
+        V = embedding_matrix(batch.column(emb_col)).astype(np.float64)
         d = V.shape[1]
-        if d not in planes_by_dim:
-            planes_by_dim[d] = np.random.default_rng(seed).normal(size=(d, n_planes))
-        P = planes_by_dim[d]
+        P = np.random.default_rng(seed).normal(size=(d, n_planes))
         signs = (V @ P) > 0
         key = np.zeros(len(V), dtype=np.int64)
         for b in range(n_planes):
             key |= signs[:, b].astype(np.int64) << b
-        norms = np.linalg.norm(V, axis=1, keepdims=True)
-        Vn = V / np.maximum(norms, 1e-12)
-        return pa.table(
-            {
-                "key": pa.array(key),
-                id_col: batch.column(id_col),
-                "vec": pa.array(list(Vn.astype(np.float32))),
-            }
-        )
+        return pa.table({"key": pa.array(key), id_col: batch.column(id_col)})
 
-    buckets = ds.select_columns([id_col, emb_col]).map_batches(
+    band_rows = ds.select_columns([id_col, emb_col]).map_batches(
         bucket, batch_format="pyarrow", zero_copy_batch=True
     )
+    members = _hot_bucket_members(band_rows, id_col)
+    pairs = _pairs_from_members(members, id_col)
+    if not pairs:
+        return pa.table({"doc_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())})
 
-    def pairs(group: pa.Table) -> pa.Table:
-        if group.num_rows < 2:
-            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-        ids = np.asarray(group.column(id_col))
-        order = np.argsort(ids)
-        ids = ids[order]
-        V = embedding_matrix(group.column("vec"))[order]
-        sims = V @ V.T
-        a_idx, b_idx = np.nonzero(np.triu(sims >= threshold, k=1))
-        return pa.table(
-            {"a": pa.array(ids[a_idx], pa.int64()), "b": pa.array(ids[b_idx], pa.int64())}
-        )
+    from raysketch.pipeline.probe import exact_semi_join
 
-    edges = buckets.groupby("key").map_groups(pairs, batch_format="pyarrow")
-    edge_rows = edges.take_all()
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    for r in edge_rows:
-        ra, rb = find(r["a"]), find(r["b"])
-        if ra != rb:
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-    members = sorted({x for r in edge_rows for x in (r["a"], r["b"])})
-    return pa.table(
-        {
-            id_col: pa.array(members, pa.int64()),
-            "cluster_id": pa.array([find(m) for m in members], pa.int64()),
-        }
-    )
+    cand_ids = sorted({x for p in pairs for x in p})
+    cand = exact_semi_join(ds.select_columns([id_col, emb_col]), cand_ids, id_col).take_all()
+    vec_of = {r[id_col]: np.asarray(r[emb_col], dtype=np.float64) for r in cand}
+    verified = []
+    for a, b in pairs:
+        va, vb = vec_of[a], vec_of[b]
+        cos = float(va @ vb / max(np.linalg.norm(va) * np.linalg.norm(vb), 1e-12))
+        if cos >= threshold:
+            verified.append((a, b))
+    return _clusters_from_edges(verified)

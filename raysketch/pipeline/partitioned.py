@@ -57,15 +57,34 @@ def build_partitioned_bloom(
     hash_algo: str = "xxh64",
     seeds: tuple[int, int] = CLASSIC_SEEDS,
     algo: str = "classic",
+    mode: str = "auto",
 ) -> tuple[PartitionedBloom, pa.Table]:
-    """Build a PartitionedBloom over ``ds[column]`` with a shard shuffle.
+    """Build a PartitionedBloom over ``ds[column]``.
 
-    Returns ``(filter, lineage)`` where lineage is one row per shard:
-    ``(shard, rows_in, build_ms, state_bytes)`` — the per-partition metrics the
-    north rule mandates. Each shard's sub-filter sees exactly its keys, so the
-    per-shard state is the full distributed filter's shard — merge-free.
+    Strategies (result bits are identical — OR-merge commutativity, tested):
+
+    - ``mode="partial"``: every block builds a full-geometry partial filter inside
+      ``map_batches`` (combiner; NO row shuffle), partials OR-merge through a
+      fan-in stage. Bytes moved = #blocks × m/8 — the right choice while the
+      packed filter fits a worker comfortably.
+    - ``mode="shuffle"``: hash stage → ``groupby(shard)`` → per-shard build. Rows
+      move once; per-worker memory is m/(8·num_shards) — the right choice when m
+      is too large to replicate per block (the 10^12-row regime).
+    - ``mode="auto"``: partial when packed size ≤ 64 MiB, else shuffle.
+
+    Returns ``(filter, lineage)``; lineage rows are per shard (shuffle) or per
+    input block (partial): ``(shard|block, rows_in, build_ms, state_bytes)``.
     """
     per_shard_capacity = max(1, math.ceil(capacity / num_shards))
+    if mode == "auto":
+        from raysketch.sketches.bloom import bloom_geometry
+
+        m_per_shard, _ = bloom_geometry(per_shard_capacity, fp_rate)
+        mode = "partial" if m_per_shard * num_shards <= 64 * 1024 * 1024 * 8 else "shuffle"
+    if mode == "partial":
+        return _build_partial(
+            ds, column, capacity, fp_rate, num_shards, hash_algo, seeds, algo
+        )
 
     hashed = ds.map_batches(
         lambda b: add_hash_columns(b, column, num_shards, hash_algo, seeds),
@@ -101,7 +120,7 @@ def build_partitioned_bloom(
     lineage_cols = {"shard": [], "rows_in": [], "build_ms": [], "state_bytes": []}
     for row in shard_rows:
         sid = int(row["shard"])
-        pb.shards[sid] = BloomSketch.from_bytes(row["state"])
+        pb.set_shard(sid, BloomSketch.from_bytes(row["state"]))
         lineage_cols["shard"].append(sid)
         lineage_cols["rows_in"].append(row["rows_in"])
         lineage_cols["build_ms"].append(row["build_ms"])
@@ -117,25 +136,78 @@ def build_partitioned_bloom(
     return pb, lineage
 
 
-def build_partitioned_bloom_partial(
+def _build_partial(
     ds,
     column: str,
     capacity: int,
-    fp_rate: float = 0.01,
-    num_shards: int = 64,
-    hash_algo: str = "xxh64",
-    seeds: tuple[int, int] = CLASSIC_SEEDS,
-    algo: str = "classic",
-) -> PartitionedBloom:
-    """Shuffle-free alternative: each block builds a full-geometry PartitionedBloom
-    partial; partials OR-merge (commutative) to the identical final bits. Preferable
-    when ``capacity/num_shards`` is small enough that a whole partial fits a worker
-    (bytes moved = #blocks × total_bits/8 — use the shuffle build when m is large)."""
-    from raysketch.pipeline.build import build_sketch
+    fp_rate: float,
+    num_shards: int,
+    hash_algo: str,
+    seeds: tuple[int, int],
+    algo: str,
+    partial_rows: int = 262_144,
+) -> tuple[PartitionedBloom, pa.Table]:
+    """Shuffle-free strategy: per-block full-geometry partials, OR-merged fan-in.
+
+    ``partial_rows`` bundles small input blocks into uniform partials: big enough
+    to amortize the per-partial filter allocation + serialization, small enough
+    that straggler tasks (noisy-CPU hosts) don't dominate the wall clock."""
 
     def make():
         return PartitionedBloom(
             capacity, fp_rate, num_shards=num_shards, algo=algo, hash_algo=hash_algo, seeds=seeds
         )
 
-    return build_sketch(ds, column, make)
+    def partial(batch: pa.Table) -> pa.Table:
+        t0 = time.perf_counter()
+        sk = make()
+        sk.update_column(batch.column(column).combine_chunks())
+        blob = sk.to_bytes()
+        ms = (time.perf_counter() - t0) * 1000
+        return pa.table(
+            {
+                "state": pa.array([blob], type=pa.binary()),
+                "rows_in": pa.array([batch.num_rows], type=pa.int64()),
+                "build_ms": pa.array([ms], type=pa.float64()),
+                "state_bytes": pa.array([len(blob)], type=pa.int64()),
+            }
+        )
+
+    # materialized so the lineage projection and the merge fan-in share one
+    # execution (partials are the checkpoint-able unit anyway)
+    parts = ds.select_columns([column]).map_batches(
+        partial, batch_format="pyarrow", batch_size=partial_rows, zero_copy_batch=True
+    ).materialize()
+
+    def merge_batch(batch: pa.Table) -> pa.Table:
+        # packed-level OR merge — never unpacks the bit arrays
+        blob = PartitionedBloom.merge_blobs(
+            batch.column("state")[i].as_py() for i in range(batch.num_rows)
+        )
+        return pa.table(
+            {
+                "state": pa.array([blob], type=pa.binary()),
+                "rows_in": pa.array(
+                    [int(pa.compute.sum(batch.column("rows_in")).as_py() or 0)], type=pa.int64()
+                ),
+                "build_ms": pa.array(
+                    [float(pa.compute.sum(batch.column("build_ms")).as_py() or 0.0)],
+                    type=pa.float64(),
+                ),
+                "state_bytes": pa.array([len(blob)], type=pa.int64()),
+            }
+        )
+
+    lineage_rows = parts.map_batches(
+        lambda b: b.drop_columns(["state"]), batch_format="pyarrow"
+    )
+    reduced = parts.map_batches(merge_batch, batch_format="pyarrow", batch_size=16)
+    rows = reduced.take_all()
+    acc = PartitionedBloom.from_bytes(
+        PartitionedBloom.merge_blobs(r["state"] for r in rows)
+    )
+    # per-block lineage (block index implicit in row order)
+    lin = lineage_rows.to_pandas()
+    lin.insert(0, "block", range(len(lin)))
+    lineage = pa.Table.from_pandas(lin, preserve_index=False)
+    return acc, lineage

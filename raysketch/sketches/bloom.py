@@ -217,7 +217,12 @@ class PartitionedBloom:
     (parallel_bloom.h:58-127): ``num_shards`` (power of two) independent sub-filters,
     each sized ``capacity/num_shards`` at p; an item belongs to shard
     ``(h1 >> 16) & (num_shards - 1)``. The union of shards is the distributed filter;
-    merge is shard-wise OR, so associativity holds shard-by-shard."""
+    merge is shard-wise OR, so associativity holds shard-by-shard.
+
+    Representation: all shards share one geometry ``(m_shard, k)``, stored as a
+    single flat bit array addressed ``shard·m_shard + (h1 + i·h2) % m_shard`` — so
+    update/probe are ONE vectorized pass regardless of shard count (no per-shard
+    Python loop; that loop was a 60× slowdown on small batches)."""
 
     kind = "partitioned_bloom"
 
@@ -232,30 +237,54 @@ class PartitionedBloom:
     ):
         if num_shards & (num_shards - 1):
             raise ValueError("num_shards must be a power of two")
+        if algo != "classic":
+            raise ValueError("PartitionedBloom supports algo='classic' (blocked: use BloomSketch)")
         self.capacity = int(capacity)
         self.fp_rate = float(fp_rate)
         self.num_shards = num_shards
-        per = max(1, math.ceil(capacity / num_shards))
-        self.shards = [
-            BloomSketch(per, fp_rate, algo=algo, hash_algo=hash_algo, seeds=seeds)
-            for _ in range(num_shards)
-        ]
+        self.algo = algo
         self.hash_algo = hash_algo
         self.seeds = tuple(seeds)
+        per = max(1, math.ceil(capacity / num_shards))
+        self.shard_capacity = per
+        self.m_shard, self.k = bloom_geometry(per, fp_rate)
+        self._bits_u8 = np.zeros(self.m_shard * num_shards, dtype=np.uint8)
+        self.shard_counts = np.zeros(num_shards, dtype=np.int64)
 
     def update_hashes(self, h1: np.ndarray, h2: np.ndarray) -> None:
-        sid = shard_of(h1, self.num_shards)
-        for s in np.unique(sid):
-            m = sid == s
-            self.shards[int(s)].update_hashes(h1[m], h2[m])
+        n = len(h1)
+        if n == 0:
+            return
+        h1 = h1.astype(np.uint32, copy=False)
+        h2 = h2.astype(np.uint32, copy=False)
+        sid = shard_of(h1, self.num_shards).astype(np.int64)
+        # shard-ordered processing: the scatter touches one m_shard-sized region at
+        # a time (cache-resident) instead of random-writing the whole array —
+        # ~4x faster under concurrency (memory-bandwidth relief)
+        order = np.argsort(sid, kind="stable")
+        pos = self._positions(h1[order], h2[order], sid[order])
+        self._bits_u8[pos.ravel()] = 1
+        self.shard_counts += np.bincount(sid, minlength=self.num_shards)
 
     def probe_hashes(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
-        sid = shard_of(h1, self.num_shards)
-        out = np.zeros(len(h1), dtype=bool)
-        for s in np.unique(sid):
-            m = sid == s
-            out[m] = self.shards[int(s)].probe_hashes(h1[m], h2[m])
+        n = len(h1)
+        if n == 0:
+            return np.empty(0, dtype=bool)
+        h1 = h1.astype(np.uint32, copy=False)
+        h2 = h2.astype(np.uint32, copy=False)
+        sid = shard_of(h1, self.num_shards).astype(np.int64)
+        order = np.argsort(sid, kind="stable")
+        pos = self._positions(h1[order], h2[order], sid[order])
+        hits = self._bits_u8[pos].all(axis=1)
+        out = np.empty(n, dtype=bool)
+        out[order] = hits
         return out
+
+    def _positions(self, h1: np.ndarray, h2: np.ndarray, sid: np.ndarray) -> np.ndarray:
+        i = np.arange(self.k, dtype=np.uint32)
+        with np.errstate(over="ignore"):
+            s = h1[:, None] + i[None, :] * h2[:, None]  # uint32 wrap (KM probes)
+        return s.astype(np.int64) % self.m_shard + (sid * self.m_shard)[:, None]
 
     def update_column(self, col) -> None:
         h1, h2 = hash_pair(col, algo=self.hash_algo, seeds=self.seeds)
@@ -266,19 +295,43 @@ class PartitionedBloom:
         return self.probe_hashes(h1, h2)
 
     def merge(self, other: "PartitionedBloom") -> "PartitionedBloom":
-        if self.num_shards != other.num_shards:
-            raise ValueError("shard count mismatch")
-        for a, b in zip(self.shards, other.shards):
-            a.merge(b)
+        if (self.num_shards, self.m_shard, self.k, self.hash_algo, self.seeds) != (
+            other.num_shards,
+            other.m_shard,
+            other.k,
+            other.hash_algo,
+            other.seeds,
+        ):
+            raise ValueError("shard geometry mismatch")
+        np.bitwise_or(self._bits_u8, other._bits_u8, out=self._bits_u8)
+        self.shard_counts += other.shard_counts
         return self
+
+    # -- per-shard access (checkpointing / shuffle build assemble) ---------------
+
+    def shard_sketch(self, sid: int) -> BloomSketch:
+        """A standalone BloomSketch copy of one shard (for per-shard checkpoints)."""
+        sk = BloomSketch(
+            self.shard_capacity, self.fp_rate, algo="classic", hash_algo=self.hash_algo, seeds=self.seeds
+        )
+        assert (sk.m, sk.k) == (self.m_shard, self.k)
+        sk._bits_u8[:] = self._bits_u8[sid * self.m_shard : (sid + 1) * self.m_shard]
+        sk.count = int(self.shard_counts[sid])
+        return sk
+
+    def set_shard(self, sid: int, sk: BloomSketch) -> None:
+        if (sk.m, sk.k) != (self.m_shard, self.k):
+            raise ValueError("shard geometry mismatch")
+        self._bits_u8[sid * self.m_shard : (sid + 1) * self.m_shard] = sk._bits_u8
+        self.shard_counts[sid] = sk.count
 
     @property
     def count(self) -> int:
-        return sum(s.count for s in self.shards)
+        return int(self.shard_counts.sum())
 
     @property
     def total_bits(self) -> int:
-        return sum(s.m for s in self.shards)
+        return self.m_shard * self.num_shards
 
     def to_bytes(self) -> bytes:
         meta = {
@@ -287,21 +340,48 @@ class PartitionedBloom:
             "num_shards": self.num_shards,
             "hash_algo": self.hash_algo,
             "seeds": list(self.seeds),
+            "counts": self.shard_counts.tolist(),
         }
-        return pack_state(self.kind, meta, [s.to_bytes() for s in self.shards])
+        packed = np.packbits(self._bits_u8, bitorder="little")
+        return pack_state(self.kind, meta, [packed.tobytes()])
 
     @classmethod
     def from_bytes(cls, blob: bytes) -> "PartitionedBloom":
         kind, meta, arrays = unpack_state(blob)
         assert kind == cls.kind
-        sk = cls.__new__(cls)
-        sk.capacity = meta["capacity"]
-        sk.fp_rate = meta["fp_rate"]
-        sk.num_shards = meta["num_shards"]
-        sk.hash_algo = meta["hash_algo"]
-        sk.seeds = tuple(meta["seeds"])
-        sk.shards = [BloomSketch.from_bytes(a) for a in arrays]
+        sk = cls(
+            meta["capacity"],
+            meta["fp_rate"],
+            num_shards=meta["num_shards"],
+            hash_algo=meta["hash_algo"],
+            seeds=tuple(meta["seeds"]),
+        )
+        raw = np.frombuffer(arrays[0], dtype=np.uint8)
+        sk._bits_u8 = np.unpackbits(raw, bitorder="little")[: sk.total_bits].copy()
+        sk.shard_counts = np.array(meta["counts"], dtype=np.int64)
         return sk
+
+    @classmethod
+    def merge_blobs(cls, blobs) -> bytes:
+        """OR-merge serialized filters WITHOUT unpacking the bit arrays (the merge
+        is bit-OR, which commutes with the packed representation) — the fan-in
+        merge stage runs on m/8 bytes per blob instead of m."""
+        it = iter(blobs)
+        first = bytes(next(it))
+        kind, meta, arrays = unpack_state(first)
+        assert kind == cls.kind
+        acc = np.frombuffer(arrays[0], dtype=np.uint8).copy()
+        counts = np.array(meta["counts"], dtype=np.int64)
+        for blob in it:
+            kind2, meta2, arrays2 = unpack_state(bytes(blob))
+            assert kind2 == cls.kind
+            for key in ("capacity", "fp_rate", "num_shards", "hash_algo", "seeds"):
+                if meta2[key] != meta[key]:
+                    raise ValueError(f"merge_blobs geometry mismatch on {key}")
+            np.bitwise_or(acc, np.frombuffer(arrays2[0], dtype=np.uint8), out=acc)
+            counts += np.array(meta2["counts"], dtype=np.int64)
+        meta["counts"] = counts.tolist()
+        return pack_state(cls.kind, meta, [acc.tobytes()])
 
 
 register_sketch(BloomSketch.kind, BloomSketch)

@@ -124,7 +124,7 @@ def test_embedding_cosine_dedup(ray_session):
 
     ds = rd.from_arrow(_emb_table()).repartition(3)
     out = embedding_cosine_dedup(ds, threshold=0.99).to_pandas()
-    pairs = set(zip(out["vec_id"], out["cluster_id"]))
+    pairs = set(zip(out["doc_id"], out["cluster_id"]))
     assert (0, 0) in pairs and (10, 0) in pairs
 
 

@@ -13,7 +13,7 @@ import raysketch.pipeline.text as rtext
 from raysketch.io.corpus import gen_membership_queries, gen_webpages
 from raysketch.pipeline.build import build_keyed_sketch, build_sketch, sketch_table_to_dict
 from raysketch.pipeline.checkpoint import checkpointed_partitioned_bloom, finished_shards
-from raysketch.pipeline.partitioned import build_partitioned_bloom, build_partitioned_bloom_partial
+from raysketch.pipeline.partitioned import build_partitioned_bloom
 from raysketch.pipeline.probe import (
     bloom_anti_join,
     bloom_semi_join,
@@ -81,7 +81,7 @@ def test_extract_text_byte_identical(corpus_dir, ray_session):
 
 def test_distributed_bloom_equals_oracle_bitwise(corpus_dir, ray_session):
     ds = _read(corpus_dir, columns=["url"])
-    pb, lineage = build_partitioned_bloom(ds, "url", capacity=N_ROWS, num_shards=16)
+    pb, lineage = build_partitioned_bloom(ds, "url", capacity=N_ROWS, num_shards=16, mode="shuffle")
     # single-process oracle over the same rows
     urls = pq.ParquetDataset(corpus_dir).read(columns=["url"])["url"].combine_chunks()
     oracle = PartitionedBloom(N_ROWS, 0.01, num_shards=16)
@@ -90,8 +90,9 @@ def test_distributed_bloom_equals_oracle_bitwise(corpus_dir, ray_session):
     assert lineage.num_rows == 16
     assert sum(lineage.column("rows_in").to_pylist()) == N_ROWS
     # partial-merge strategy produces the same bits too
-    pb2 = build_partitioned_bloom_partial(ds, "url", capacity=N_ROWS, num_shards=16)
+    pb2, lin2 = build_partitioned_bloom(ds, "url", capacity=N_ROWS, num_shards=16, mode="partial")
     assert pb2.to_bytes() == pb.to_bytes()
+    assert sum(lin2.column("rows_in").to_pylist()) == N_ROWS
 
 
 def test_confusion_matrix_invariants(corpus_dir, queries_path, ray_session):
