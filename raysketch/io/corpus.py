@@ -106,6 +106,51 @@ def gen_webpages(
     return out_dir
 
 
+def gen_raw_keys(
+    out_dir: str,
+    rows: int = 2_500_000,
+    seed: int = 42,
+    key_len: int = 16,
+    num_files: int = 16,
+    overwrite: bool = False,
+) -> str:
+    """F3 ``raw_keys``: 16-char printable-ASCII strings — the exact shape of the
+    reference's benchmark workload (simple_benchmark.cpp:79-97, but seeded instead
+    of ``random_device``)."""
+    os.makedirs(out_dir, exist_ok=True)
+    expected = [os.path.join(out_dir, f"part-{i:05d}.parquet") for i in range(num_files)]
+    if not overwrite and all(os.path.exists(p) for p in expected):
+        return out_dir
+    per = (rows + num_files - 1) // num_files
+    start = 0
+    for i, path in enumerate(expected):
+        count = min(per, rows - start)
+        rng = np.random.default_rng(np.random.SeedSequence([seed, i]))
+        codes = rng.integers(32, 127, size=(count, key_len), dtype=np.uint8)  # printable ASCII
+        flat = codes.tobytes()
+        offsets = np.arange(0, (count + 1) * key_len, key_len, dtype=np.int32)
+        arr = pa.Array.from_buffers(
+            pa.utf8(), count, [None, pa.py_buffer(offsets), pa.py_buffer(flat)]
+        )
+        pq.write_table(pa.table({"key": arr}), path)
+        start += count
+    return out_dir
+
+
+def read_whitelist(path: str, seed: int = 42, insert_n: int | None = None, query_n: int | None = None):
+    """Whitelist-file source (benchmark_bloom.cpp:67-83 semantics): read lines,
+    seeded shuffle, prefix-split into (insert_ds, query_ds) Ray datasets."""
+    import ray.data as rd
+
+    ds = rd.read_text(path).random_shuffle(seed=seed)
+    n = ds.count()
+    insert_n = insert_n if insert_n is not None else n // 2
+    query_n = query_n if query_n is not None else n - insert_n
+    # prefix-split: first insert_n lines insert, next query_n lines query
+    splits = ds.split_proportionately([insert_n / n]) if 0 < insert_n < n else (ds, ds.limit(0))
+    return splits[0], splits[1].limit(query_n)
+
+
 def gen_membership_queries(
     out_path: str,
     webpages_dir: str,

@@ -70,7 +70,9 @@ def build_partitioned_bloom(
     - ``mode="shuffle"``: hash stage → ``groupby(shard)`` → per-shard build. Rows
       move once; per-worker memory is m/(8·num_shards) — the right choice when m
       is too large to replicate per block (the 10^12-row regime).
-    - ``mode="auto"``: partial when packed size ≤ 64 MiB, else shuffle.
+    - ``mode="auto"``: partial while the per-task filter stays RAM-friendly
+      (total m ≤ 1 Gbit ⇒ 128 MB packed words per task; the sketch switches to
+      its packed representation above 128 Mbit), else shuffle.
 
     Returns ``(filter, lineage)``; lineage rows are per shard (shuffle) or per
     input block (partial): ``(shard|block, rows_in, build_ms, state_bytes)``.
@@ -80,7 +82,7 @@ def build_partitioned_bloom(
         from raysketch.sketches.bloom import bloom_geometry
 
         m_per_shard, _ = bloom_geometry(per_shard_capacity, fp_rate)
-        mode = "partial" if m_per_shard * num_shards <= 64 * 1024 * 1024 * 8 else "shuffle"
+        mode = "partial" if m_per_shard * num_shards <= (1 << 30) else "shuffle"
     if mode == "partial":
         return _build_partial(
             ds, column, capacity, fp_rate, num_shards, hash_algo, seeds, algo
@@ -92,27 +94,11 @@ def build_partitioned_bloom(
         zero_copy_batch=True,
     )
 
-    def build_shard(group: pa.Table) -> pa.Table:
-        t0 = time.perf_counter()
-        sid = int(group.column("shard")[0].as_py())
-        sk = BloomSketch(per_shard_capacity, fp_rate, algo=algo, hash_algo=hash_algo, seeds=seeds)
-        sk.update_hashes(
-            group.column("h1").combine_chunks().to_numpy(),
-            group.column("h2").combine_chunks().to_numpy(),
-        )
-        blob = sk.to_bytes()
-        ms = (time.perf_counter() - t0) * 1000
-        return pa.table(
-            {
-                "shard": pa.array([sid], type=pa.int32()),
-                "state": pa.array([blob], type=pa.binary()),
-                "rows_in": pa.array([group.num_rows], type=pa.int64()),
-                "build_ms": pa.array([ms], type=pa.float64()),
-                "state_bytes": pa.array([len(blob)], type=pa.int64()),
-            }
-        )
-
-    shard_rows = hashed.groupby("shard").map_groups(build_shard, batch_format="pyarrow").take_all()
+    shard_rows = _shuffle_build_rows(
+        hashed,
+        num_shards,
+        lambda: BloomSketch(per_shard_capacity, fp_rate, algo=algo, hash_algo=hash_algo, seeds=seeds),
+    )
 
     pb = PartitionedBloom(
         capacity, fp_rate, num_shards=num_shards, algo=algo, hash_algo=hash_algo, seeds=seeds
@@ -134,6 +120,61 @@ def build_partitioned_bloom(
         }
     )
     return pb, lineage
+
+
+def _shuffle_build_rows(hashed, num_shards: int, make_shard_sketch, num_blocks: int | None = None):
+    """Hash-shuffle ``(h1, h2, shard)`` rows so each output block holds whole
+    shards (Ray's HASH_SHUFFLE ``repartition(keys=["shard"])``), then build every
+    shard of a block in one vectorized task (shard boundaries via one argsort —
+    no per-group Python dispatch, the owner-compute pattern of gloom.h:113-140).
+
+    Returns the list of per-shard rows ``{shard, state, rows_in, build_ms,
+    state_bytes}``."""
+    from ray.data.context import ShuffleStrategy
+
+    # each Dataset snapshots its DataContext at creation — flip the captured copy
+    ctx = hashed.context
+    prev = ctx.shuffle_strategy
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    try:
+        if num_blocks is None:
+            num_blocks = min(num_shards, 64)
+        parts = hashed.repartition(num_blocks=num_blocks, keys=["shard"])
+
+        def build_block(batch: pa.Table) -> pa.Table:
+            t_start = time.perf_counter()
+            sid = np.asarray(batch.column("shard").combine_chunks())
+            h1 = batch.column("h1").combine_chunks().to_numpy()
+            h2 = batch.column("h2").combine_chunks().to_numpy()
+            order = np.argsort(sid, kind="stable")
+            sid_s, h1_s, h2_s = sid[order], h1[order], h2[order]
+            uniq, starts = np.unique(sid_s, return_index=True)
+            bounds = np.append(starts, len(sid_s))
+            out = {"shard": [], "state": [], "rows_in": [], "build_ms": [], "state_bytes": []}
+            for j, s in enumerate(uniq):
+                t0 = time.perf_counter()
+                sk = make_shard_sketch()
+                sk.update_hashes(h1_s[bounds[j] : bounds[j + 1]], h2_s[bounds[j] : bounds[j + 1]])
+                blob = sk.to_bytes()
+                out["shard"].append(int(s))
+                out["state"].append(blob)
+                out["rows_in"].append(int(bounds[j + 1] - bounds[j]))
+                out["build_ms"].append((time.perf_counter() - t0) * 1000)
+                out["state_bytes"].append(len(blob))
+            return pa.table(
+                {
+                    "shard": pa.array(out["shard"], pa.int32()),
+                    "state": pa.array(out["state"], pa.binary()),
+                    "rows_in": pa.array(out["rows_in"], pa.int64()),
+                    "build_ms": pa.array(out["build_ms"], pa.float64()),
+                    "state_bytes": pa.array(out["state_bytes"], pa.int64()),
+                }
+            )
+
+        built = parts.map_batches(build_block, batch_format="pyarrow", batch_size=None)
+        return built.take_all()
+    finally:
+        ctx.shuffle_strategy = prev
 
 
 def _build_partial(

@@ -88,8 +88,14 @@ class BloomSketch:
         h1 = h1.astype(np.uint32, copy=False)
         h2 = h2.astype(np.uint32, copy=False)
         if self.algo == "classic":
-            pos = self._positions(h1, h2)
-            self._bits_u8[pos.ravel()] = 1
+            # probe-index loop keeps temporaries at n elements (KM double hashing:
+            # probe i is (h1 + i·h2) with uint32 wraparound, then mod m)
+            with np.errstate(over="ignore"):
+                for i in range(self.k):
+                    g = h1 + _U32(i) * h2
+                    pos = g.astype(np.int64)
+                    pos %= self.m
+                    self._bits_u8[pos] = 1
         else:
             idx, mask = self._block_masks(h1, h2)
             np.bitwise_or.at(self._blocks, idx, mask)
@@ -102,17 +108,16 @@ class BloomSketch:
         h1 = h1.astype(np.uint32, copy=False)
         h2 = h2.astype(np.uint32, copy=False)
         if self.algo == "classic":
-            pos = self._positions(h1, h2)
-            return self._bits_u8[pos].all(axis=1)
+            hits = np.ones(n, dtype=bool)
+            with np.errstate(over="ignore"):
+                for i in range(self.k):
+                    g = h1 + _U32(i) * h2
+                    pos = g.astype(np.int64)
+                    pos %= self.m
+                    hits &= self._bits_u8[pos].astype(bool)
+            return hits
         idx, mask = self._block_masks(h1, h2)
         return (self._blocks[idx] & mask) == mask
-
-    def _positions(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
-        # (h1 + i*h2) with uint32 wraparound, then mod m — KM double hashing
-        i = np.arange(self.k, dtype=np.uint32)
-        with np.errstate(over="ignore"):
-            s = h1[:, None] + i[None, :] * h2[:, None]  # uint32 wrap
-        return s.astype(np.int64) % self.m
 
     def _block_masks(self, h1: np.ndarray, h2: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         nblocks = len(self._blocks)
@@ -248,7 +253,18 @@ class PartitionedBloom:
         per = max(1, math.ceil(capacity / num_shards))
         self.shard_capacity = per
         self.m_shard, self.k = bloom_geometry(per, fp_rate)
-        self._bits_u8 = np.zeros(self.m_shard * num_shards, dtype=np.uint8)
+        # representation: one byte per bit (fast fancy-index scatter) while the
+        # build array is modest; packed uint64 words (8x smaller, bitwise_or.at
+        # scatter) for large filters. Serialized form is identical either way
+        # (little-endian packed bits), so merge/checkpoint interop across reprs.
+        total = self.m_shard * num_shards
+        self._repr = "u8" if total <= (1 << 27) else "packed"
+        if self._repr == "u8":
+            self._bits_u8 = np.zeros(total, dtype=np.uint8)
+            self._words = None
+        else:
+            self._bits_u8 = None
+            self._words = np.zeros(total // 64, dtype=np.uint64)
         self.shard_counts = np.zeros(num_shards, dtype=np.int64)
 
     def update_hashes(self, h1: np.ndarray, h2: np.ndarray) -> None:
@@ -259,11 +275,23 @@ class PartitionedBloom:
         h2 = h2.astype(np.uint32, copy=False)
         sid = shard_of(h1, self.num_shards).astype(np.int64)
         # shard-ordered processing: the scatter touches one m_shard-sized region at
-        # a time (cache-resident) instead of random-writing the whole array —
-        # ~4x faster under concurrency (memory-bandwidth relief)
+        # a time (cache-resident) instead of random-writing the whole array
         order = np.argsort(sid, kind="stable")
-        pos = self._positions(h1[order], h2[order], sid[order])
-        self._bits_u8[pos.ravel()] = 1
+        h1o, h2o = h1[order], h2[order]
+        base = sid[order] * self.m_shard
+        # probe-index loop keeps temporaries at n elements (no (n,k) 2D arrays)
+        with np.errstate(over="ignore"):
+            for i in range(self.k):
+                g = h1o + _U32(i) * h2o  # uint32 wrap (KM probe i)
+                pos = g.astype(np.int64)
+                pos %= self.m_shard
+                pos += base
+                if self._repr == "u8":
+                    self._bits_u8[pos] = 1
+                else:
+                    word = pos >> 6
+                    bit = _U64(1) << (pos & 63).astype(np.uint64)
+                    np.bitwise_or.at(self._words, word, bit)
         self.shard_counts += np.bincount(sid, minlength=self.num_shards)
 
     def probe_hashes(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
@@ -274,17 +302,24 @@ class PartitionedBloom:
         h2 = h2.astype(np.uint32, copy=False)
         sid = shard_of(h1, self.num_shards).astype(np.int64)
         order = np.argsort(sid, kind="stable")
-        pos = self._positions(h1[order], h2[order], sid[order])
-        hits = self._bits_u8[pos].all(axis=1)
+        h1o, h2o = h1[order], h2[order]
+        base = sid[order] * self.m_shard
+        hits = np.ones(n, dtype=bool)
+        with np.errstate(over="ignore"):
+            for i in range(self.k):
+                g = h1o + _U32(i) * h2o
+                pos = g.astype(np.int64)
+                pos %= self.m_shard
+                pos += base
+                if self._repr == "u8":
+                    hits &= self._bits_u8[pos].astype(bool)
+                else:
+                    word = pos >> 6
+                    bit = _U64(1) << (pos & 63).astype(np.uint64)
+                    hits &= (self._words[word] & bit) != 0
         out = np.empty(n, dtype=bool)
         out[order] = hits
         return out
-
-    def _positions(self, h1: np.ndarray, h2: np.ndarray, sid: np.ndarray) -> np.ndarray:
-        i = np.arange(self.k, dtype=np.uint32)
-        with np.errstate(over="ignore"):
-            s = h1[:, None] + i[None, :] * h2[:, None]  # uint32 wrap (KM probes)
-        return s.astype(np.int64) % self.m_shard + (sid * self.m_shard)[:, None]
 
     def update_column(self, col) -> None:
         h1, h2 = hash_pair(col, algo=self.hash_algo, seeds=self.seeds)
@@ -303,7 +338,10 @@ class PartitionedBloom:
             other.seeds,
         ):
             raise ValueError("shard geometry mismatch")
-        np.bitwise_or(self._bits_u8, other._bits_u8, out=self._bits_u8)
+        if self._repr == "u8":
+            np.bitwise_or(self._bits_u8, other._bits_u8, out=self._bits_u8)
+        else:
+            np.bitwise_or(self._words, other._words, out=self._words)
         self.shard_counts += other.shard_counts
         return self
 
@@ -315,14 +353,26 @@ class PartitionedBloom:
             self.shard_capacity, self.fp_rate, algo="classic", hash_algo=self.hash_algo, seeds=self.seeds
         )
         assert (sk.m, sk.k) == (self.m_shard, self.k)
-        sk._bits_u8[:] = self._bits_u8[sid * self.m_shard : (sid + 1) * self.m_shard]
+        if self._repr == "u8":
+            sk._bits_u8[:] = self._bits_u8[sid * self.m_shard : (sid + 1) * self.m_shard]
+        else:
+            w = self.m_shard // 64
+            words = self._words[sid * w : (sid + 1) * w]
+            sk._bits_u8[:] = np.unpackbits(
+                words.view(np.uint8), bitorder="little"
+            )[: self.m_shard]
         sk.count = int(self.shard_counts[sid])
         return sk
 
     def set_shard(self, sid: int, sk: BloomSketch) -> None:
         if (sk.m, sk.k) != (self.m_shard, self.k):
             raise ValueError("shard geometry mismatch")
-        self._bits_u8[sid * self.m_shard : (sid + 1) * self.m_shard] = sk._bits_u8
+        if self._repr == "u8":
+            self._bits_u8[sid * self.m_shard : (sid + 1) * self.m_shard] = sk._bits_u8
+        else:
+            w = self.m_shard // 64
+            packed = np.packbits(sk._bits_u8, bitorder="little")
+            self._words[sid * w : (sid + 1) * w] = packed.view(np.uint64)
         self.shard_counts[sid] = sk.count
 
     @property
@@ -342,7 +392,10 @@ class PartitionedBloom:
             "seeds": list(self.seeds),
             "counts": self.shard_counts.tolist(),
         }
-        packed = np.packbits(self._bits_u8, bitorder="little")
+        if self._repr == "u8":
+            packed = np.packbits(self._bits_u8, bitorder="little")
+        else:
+            packed = self._words.view(np.uint8)  # little-endian words == packed bits
         return pack_state(self.kind, meta, [packed.tobytes()])
 
     @classmethod
@@ -357,7 +410,10 @@ class PartitionedBloom:
             seeds=tuple(meta["seeds"]),
         )
         raw = np.frombuffer(arrays[0], dtype=np.uint8)
-        sk._bits_u8 = np.unpackbits(raw, bitorder="little")[: sk.total_bits].copy()
+        if sk._repr == "u8":
+            sk._bits_u8 = np.unpackbits(raw, bitorder="little")[: sk.total_bits].copy()
+        else:
+            sk._words = raw.view(np.uint64).copy()
         sk.shard_counts = np.array(meta["counts"], dtype=np.int64)
         return sk
 
