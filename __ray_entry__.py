@@ -219,6 +219,52 @@ def q_ann_topk(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def q_top_orders(sf_dir: str):
+    """Distributed sort + limit (top-k)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+    return out.to_pandas()
+
+
+def q_quantiles_by_lang(sf_dir: str):
+    """Keyed t-digest: per-lang quantiles of document length (two-level build)."""
+    import pandas as pd
+
+    from raysketch.pipeline.build import build_keyed_sketch, sketch_table_to_dict
+    from raysketch.sketches.tdigest import TDigest
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    tbl = build_keyed_sketch(ds, "lang", "n_chars", lambda: TDigest(200))
+    sk = sketch_table_to_dict(tbl, "lang")
+    rows = []
+    for lang, td in sorted(sk.items()):
+        for q in (0.25, 0.5, 0.75):
+            rows.append({"lang": lang, "q": q, "value": td.quantile(q)})
+    return pd.DataFrame(rows)
+
+
+def q_dedup_incremental(sf_dir: str):
+    """Epoch-style incremental dedup (the reference's insert→flush→query cycle):
+    build a Bloom over epoch-1 docs, anti-join epoch-2 candidates against it —
+    every kept row is DEFINITELY new (no false negatives), rate of dropped
+    genuinely-new rows ≤ p."""
+    import pandas as pd
+
+    from raysketch.pipeline.partitioned import build_partitioned_bloom
+    from raysketch.pipeline.probe import bloom_anti_join
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n = docs.count()
+    epoch1 = docs.filter(expr=f"doc_id < {n // 2}")
+    epoch2 = docs.filter(expr=f"doc_id >= {n // 2}")
+    pb, _ = build_partitioned_bloom(epoch1, "text", capacity=max(n // 2, 1), num_shards=16)
+    new_rows = bloom_anti_join(epoch2, pb, "text")
+    seen_again = n - n // 2 - new_rows.count()
+    return pd.DataFrame(
+        [{"epoch1_rows": n // 2, "epoch2_rows": n - n // 2, "definitely_new": new_rows.count(), "possibly_seen": seen_again}]
+    )
+
+
 def q_bloom_membership(sf_dir: str):
     """Flagship: partitioned-Bloom build over lineitem orderkeys + probe stage +
     confusion matrix vs exact labels (reference protocol, simple_benchmark.cpp)."""
@@ -453,6 +499,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join": q_anti_join,
         "lineitem_agg": q_lineitem_agg,
         "ann_topk": q_ann_topk,
+        "top_orders": q_top_orders,
         # sketch / approximate (rows-only)
         "bloom_membership": q_bloom_membership,
         "bloom_semi_join": q_bloom_semi_join,
@@ -469,6 +516,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": q_fingerprints,
         "media_features": q_media_features,
         "webpipeline": q_webpipeline,
+        "quantiles_by_lang": q_quantiles_by_lang,
+        "dedup_incremental": q_dedup_incremental,
     }
 
 
@@ -520,5 +569,9 @@ def oracle_sql() -> dict[str, str]:
         # so the min-estimate equals the exact count.
         "cms_event_types": (
             "SELECT event_type, count(*)::BIGINT AS est FROM events GROUP BY event_type"
+        ),
+        "top_orders": (
+            "SELECT o_orderkey, o_totalprice FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
         ),
     }
