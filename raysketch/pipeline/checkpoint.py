@@ -103,30 +103,26 @@ def checkpointed_partitioned_bloom(
 
         hashed = ds.map_batches(hash_and_filter, batch_format="pyarrow", zero_copy_batch=True)
 
-        def build_and_checkpoint(group: pa.Table) -> pa.Table:
-            t0 = time.perf_counter()
-            sid = int(group.column("shard")[0].as_py())
-            sk = BloomSketch(per_shard_capacity, fp_rate, algo=algo, hash_algo=hash_algo, seeds=seeds)
-            sk.update_hashes(
-                group.column("h1").combine_chunks().to_numpy(),
-                group.column("h2").combine_chunks().to_numpy(),
-            )
-            blob = sk.to_bytes()
-            ms = (time.perf_counter() - t0) * 1000
-            row = pa.table(
+        # hash-shuffle so each block holds whole shards; one vectorized build task
+        # per block writes each of its shards' checkpoint files atomically
+        from raysketch.pipeline.partitioned import _shuffle_build_rows
+
+        def make_shard():
+            return BloomSketch(per_shard_capacity, fp_rate, algo=algo, hash_algo=hash_algo, seeds=seeds)
+
+        def write_checkpoint(sid: int, blob: bytes, rows_in: int, ms: float) -> None:
+            tbl = pa.table(
                 {
                     "shard": pa.array([sid], type=pa.int32()),
                     "state": pa.array([blob], type=pa.binary()),
-                    "rows_in": pa.array([group.num_rows], type=pa.int64()),
+                    "rows_in": pa.array([rows_in], type=pa.int64()),
                     "build_ms": pa.array([ms], type=pa.float64()),
                     "state_bytes": pa.array([len(blob)], type=pa.int64()),
                 }
             )
-            _atomic_write_table(row, _shard_path(ckpt_dir, sid))
-            return row
+            _atomic_write_table(tbl, _shard_path(ckpt_dir, sid))
 
-        # consume the pipeline; results land in the checkpoint dir
-        hashed.groupby("shard").map_groups(build_and_checkpoint, batch_format="pyarrow").count()
+        _shuffle_build_rows(hashed, num_shards, make_shard, on_shard=write_checkpoint)
 
         # shards that received zero rows still need a (empty) checkpoint file
         for sid in sorted(set(missing) - finished_shards(ckpt_dir)):

@@ -122,7 +122,9 @@ def build_partitioned_bloom(
     return pb, lineage
 
 
-def _shuffle_build_rows(hashed, num_shards: int, make_shard_sketch, num_blocks: int | None = None):
+def _shuffle_build_rows(
+    hashed, num_shards: int, make_shard_sketch, num_blocks: int | None = None, on_shard=None
+):
     """Hash-shuffle ``(h1, h2, shard)`` rows so each output block holds whole
     shards (Ray's HASH_SHUFFLE ``repartition(keys=["shard"])``), then build every
     shard of a block in one vectorized task (shard boundaries via one argsort —
@@ -156,6 +158,10 @@ def _shuffle_build_rows(hashed, num_shards: int, make_shard_sketch, num_blocks: 
                 sk = make_shard_sketch()
                 sk.update_hashes(h1_s[bounds[j] : bounds[j + 1]], h2_s[bounds[j] : bounds[j + 1]])
                 blob = sk.to_bytes()
+                if on_shard is not None:
+                    # task-side side effect (e.g. atomic checkpoint write) — runs
+                    # where the shard was built, before anything returns upstream
+                    on_shard(int(s), blob, int(bounds[j + 1] - bounds[j]), (time.perf_counter() - t0) * 1000)
                 out["shard"].append(int(s))
                 out["state"].append(blob)
                 out["rows_in"].append(int(bounds[j + 1] - bounds[j]))
