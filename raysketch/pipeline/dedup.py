@@ -131,26 +131,85 @@ def exact_dedup(
 # ---------------------------------------------------------------------------
 
 
-def _word_shingle_hashes(texts: pa.Array, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
-    """All word k-shingles of every doc, hashed (xxh64) in ONE vectorized pass.
+_SHINGLE_P = np.uint64(0x100000001B3)  # FNV-ish odd multiplier for position mixing
+_EMPTY_DOC_HASH = np.uint64(0xEF46DB3751D8E999)  # xxh64(b"", 0)
 
+
+def _token_hashes(texts: pa.Array, seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """Whitespace-token xxh64 hashes for every doc, fully vectorized: Arrow
+    ``utf8_split_whitespace`` (C tokenizer) → one hash pass over the flat token
+    buffer → empty tokens dropped. Returns ``(token_hashes, doc_token_offsets)``."""
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    lists = pc.utf8_split_whitespace(texts)
+    offs = np.asarray(lists.offsets).astype(np.int64)
+    flat = lists.values
+    from raysketch.hashing import column_spans
+
+    data, starts, lengths = column_spans(flat)
+    nonempty = lengths > 0
+    th_all = xxh64_vec(data, starts, lengths, seed)
+    # robust per-doc nonempty counts (reduceat mishandles empty segments)
+    cs = np.zeros(len(nonempty) + 1, dtype=np.int64)
+    np.cumsum(nonempty, out=cs[1:])
+    d = cs[offs[1:]] - cs[offs[:-1]]
+    doc_offs = np.zeros(len(d) + 1, dtype=np.int64)
+    np.cumsum(d, out=doc_offs[1:])
+    return th_all[nonempty], doc_offs
+
+
+def _word_shingle_hashes(texts: pa.Array, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """All word k-shingle fingerprints of every doc in ONE vectorized pass.
+
+    A shingle's fingerprint is an order-sensitive mix of its k token hashes
+    (``acc = acc·P + rotl(t, 13·pos)``) — the shingle *set* is isomorphic to the
+    string-shingle set up to 64-bit collisions, with zero per-doc Python.
     Returns ``(hashes, doc_offsets)``; doc i owns ``hashes[off[i]:off[i+1]]``.
-    Tokenization is the only per-doc Python; hashing is batched."""
-    tok_lists = [t.split() if t else [] for t in texts.to_pylist()]
-    shingles: list[bytes] = []
-    counts = np.zeros(len(tok_lists) + 1, dtype=np.int64)
-    for i, toks in enumerate(tok_lists):
-        if len(toks) >= k:
-            sh = [" ".join(toks[j : j + k]).encode() for j in range(len(toks) - k + 1)]
-        elif toks:
-            sh = [" ".join(toks).encode()]
-        else:
-            sh = [b""]
-        shingles.extend(sh)
-        counts[i + 1] = len(sh)
-    offsets = np.cumsum(counts)
-    data, starts, lengths = _spans_of_bytes(shingles)
-    return xxh64_vec(data, starts, lengths, 0), offsets
+    Docs with 0 < tokens < k contribute one shingle over their tokens; empty
+    docs one constant."""
+    th, doc_offs = _token_hashes(texts)
+    d = np.diff(doc_offs)
+    ndoc = len(d)
+    s = np.where(d > 0, np.maximum(d - k + 1, 1), 1)
+    out_offs = np.zeros(ndoc + 1, dtype=np.int64)
+    np.cumsum(s, out=out_offs[1:])
+    out = np.empty(out_offs[-1], dtype=np.uint64)
+    T = len(th)
+
+    def _mix(arrays: list[np.ndarray]) -> np.ndarray:
+        acc = np.zeros(len(arrays[0]), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for pos, t in enumerate(arrays):
+                r = np.uint64((13 * pos + 7) % 64)
+                acc = acc * _SHINGLE_P + ((t << r) | (t >> np.uint64(64 - int(r))))
+        return acc
+
+    # full-width shingles: start j valid iff j and j+k-1 fall in the same doc
+    if T >= k:
+        docid = np.repeat(np.arange(ndoc, dtype=np.int64), d)
+        shifted = [th[pos : T - k + 1 + pos] for pos in range(k)]
+        valid = docid[: T - k + 1] == docid[k - 1 :]
+        sh = _mix(shifted)[valid]
+    else:
+        sh = np.empty(0, dtype=np.uint64)
+    is_short = d < k  # includes empty docs
+    out_short = np.repeat(is_short, s)
+    out[~out_short] = sh
+    # short docs: one shingle over their <k tokens (vector gathers per length)
+    if is_short.any():
+        short_vals = np.full(int(is_short.sum()), _EMPTY_DOC_HASH, dtype=np.uint64)
+        short_docs = np.nonzero(is_short)[0]
+        short_d = d[short_docs]
+        for dl in range(1, k):
+            m = short_d == dl
+            if not m.any():
+                continue
+            tok0 = doc_offs[short_docs[m]]
+            short_vals[m] = _mix([th[tok0 + pos] for pos in range(dl)])
+        out[out_short] = short_vals
+    return out, out_offs
 
 
 def minhash_signatures(texts: pa.Array, n_perm: int = 128, k: int = 3, seed: int = 7) -> np.ndarray:
@@ -288,26 +347,22 @@ def minhash_lsh_dedup(
 
 
 def simhash64(texts: pa.Array, seed: int = 0) -> np.ndarray:
-    """64-bit SimHash over word tokens: sign-sum of token-hash bit columns."""
-    tok_lists = [t.split() if t else [] for t in texts.to_pylist()]
-    all_toks: list[bytes] = []
-    counts = np.zeros(len(tok_lists) + 1, dtype=np.int64)
-    for i, toks in enumerate(tok_lists):
-        all_toks.extend(t.encode() for t in toks)
-        counts[i + 1] = len(toks)
-    offsets = np.cumsum(counts)
-    if not all_toks:
-        return np.zeros(len(tok_lists), dtype=np.uint64)
-    data, starts, lengths = _spans_of_bytes(all_toks)
-    th = xxh64_vec(data, starts, lengths, seed)
-    bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int32)
-    contrib = 2 * bits - 1
-    sums = np.add.reduceat(contrib, offsets[:-1], axis=0)
-    empty = offsets[1:] == offsets[:-1]
-    out = (sums > 0).astype(np.uint64)
-    fingerprints = np.zeros(len(tok_lists), dtype=np.uint64)
+    """64-bit SimHash over word tokens: sign-sum of token-hash bit columns.
+    Fully vectorized (Arrow tokenizer + one hash pass); the bit loop keeps
+    temporaries 1-D (cumsum segment sums), avoiding (T, 64) matrices."""
+    th, doc_offs = _token_hashes(texts, seed)
+    ndoc = len(doc_offs) - 1
+    fingerprints = np.zeros(ndoc, dtype=np.uint64)
+    if len(th) == 0:
+        return fingerprints
+    cs = np.empty(len(th) + 1, dtype=np.int64)
     for b in range(64):
-        fingerprints |= out[:, b] << np.uint64(b)
+        contrib = (2 * ((th >> np.uint64(b)) & np.uint64(1)).astype(np.int64)) - 1
+        cs[0] = 0
+        np.cumsum(contrib, out=cs[1:])
+        sums = cs[doc_offs[1:]] - cs[doc_offs[:-1]]
+        fingerprints |= (sums > 0).astype(np.uint64) << np.uint64(b)
+    empty = doc_offs[1:] == doc_offs[:-1]
     fingerprints[empty] = 0
     return fingerprints
 
