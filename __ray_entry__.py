@@ -219,6 +219,42 @@ def q_ann_topk(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def q_distinct_langs(sf_dir: str):
+    """Distinct values of one column (``ds.unique`` — a shuffle op)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "documents", ["lang"])
+    return pd.DataFrame({"lang": sorted(ds.unique("lang"))})
+
+
+def q_extract_invariant(sf_dir: str):
+    """The per-row invariant end-to-end (BASELINE.json input_hint): generate the
+    seeded web corpus, run the distributed extractor, count byte mismatches
+    against the stored text column. Must report 0 mismatches."""
+    import pandas as pd
+    import ray.data as rd
+
+    from raysketch.io.corpus import gen_webpages
+    from raysketch.pipeline.text import extract_text_array
+
+    d = gen_webpages("/tmp/raysketch_webcorpus_10k", rows=10000, num_files=4)
+    ds = rd.read_parquet(d, columns=["html", "text"])
+
+    def check(batch: pa.Table) -> pa.Table:
+        extracted = extract_text_array(batch.column("html"))
+        bad = pa.compute.sum(
+            pa.compute.not_equal(extracted, batch.column("text").combine_chunks())
+        ).as_py()
+        return pa.table({"rows": [batch.num_rows], "mismatches": [int(bad or 0)]})
+
+    agg = ds.map_batches(check, batch_format="pyarrow", zero_copy_batch=True).sum(
+        ["rows", "mismatches"]
+    )
+    return pd.DataFrame(
+        [{"rows": int(agg["sum(rows)"]), "mismatches": int(agg["sum(mismatches)"])}]
+    )
+
+
 def q_top_orders(sf_dir: str):
     """Distributed sort + limit (top-k)."""
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
@@ -500,6 +536,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_agg": q_lineitem_agg,
         "ann_topk": q_ann_topk,
         "top_orders": q_top_orders,
+        "distinct_langs": q_distinct_langs,
         # sketch / approximate (rows-only)
         "bloom_membership": q_bloom_membership,
         "bloom_semi_join": q_bloom_semi_join,
@@ -518,6 +555,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "webpipeline": q_webpipeline,
         "quantiles_by_lang": q_quantiles_by_lang,
         "dedup_incremental": q_dedup_incremental,
+        "extract_invariant": q_extract_invariant,
     }
 
 
@@ -574,4 +612,5 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderkey, o_totalprice FROM orders "
             "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
         ),
+        "distinct_langs": "SELECT DISTINCT lang FROM documents",
     }

@@ -160,6 +160,21 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     with timed("window_events"):
         tumbling_window_agg(rd.read_parquet(f"{sf_dir}/events.parquet"), window_s=86400).count()
 
+    # 5. the north-star per-row op: html→text extraction over the seeded web
+    # corpus (byte-stable, vectorized ragged gather; html projected away)
+    from raysketch.io.corpus import gen_webpages
+    from raysketch.pipeline.text import extract_text_batch
+
+    web_dir = "/tmp/raysketch_wp200k"
+    gen_webpages(web_dir, rows=200_000, num_files=32)  # idempotent, cached
+    with timed("extract_text"):
+        n_web = (
+            rd.read_parquet(web_dir, columns=["url", "html"])
+            .map_batches(extract_text_batch, batch_format="pyarrow", zero_copy_batch=True)
+            .count()
+        )
+    extras["extract_rows_per_sec"] = round(n_web / timings["extract_text"], 1)
+
     ray.shutdown()
     total = round(sum(timings.values()), 3)
     return {

@@ -34,15 +34,6 @@ from raysketch.hashing import hash_column, xxh64_vec
 _MERSENNE61 = np.uint64((1 << 61) - 1)
 
 
-def _spans_of_bytes(items: list[bytes]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    lengths = np.fromiter((len(b) for b in items), count=len(items), dtype=np.int64)
-    starts = np.zeros(len(items), dtype=np.int64)
-    if len(items) > 1:
-        np.cumsum(lengths[:-1], out=starts[1:])
-    data = np.frombuffer(b"".join(items), dtype=np.uint8)
-    return data, starts, lengths
-
-
 def _clusters_from_edges(edges: list[tuple[int, int]]) -> pa.Table:
     """Union-find min-label clustering of a (small, verified) edge list."""
     parent: dict[int, int] = {}
