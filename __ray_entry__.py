@@ -219,6 +219,30 @@ def q_ann_topk(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def q_token_counts_global(sf_dir: str):
+    """Global token frequencies (exact heavy-hitters path): vectorized tokenize →
+    in-batch partial counts (the explode never leaves the task) → tiny groupby-sum
+    over (token, partial_count) rows."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.utf8_split_whitespace(batch.column("text").combine_chunks()))
+        toks = toks.filter(pc.greater(pc.utf8_length(toks), 0))
+        vc = toks.value_counts()
+        return pa.table(
+            {"token": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+
+
 def q_distinct_langs(sf_dir: str):
     """Distinct values of one column (``ds.unique`` — a shuffle op)."""
     import pandas as pd
@@ -537,6 +561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": q_ann_topk,
         "top_orders": q_top_orders,
         "distinct_langs": q_distinct_langs,
+        "token_counts_global": q_token_counts_global,
         # sketch / approximate (rows-only)
         "bloom_membership": q_bloom_membership,
         "bloom_semi_join": q_bloom_semi_join,
@@ -613,4 +638,9 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
         ),
         "distinct_langs": "SELECT DISTINCT lang FROM documents",
+        "token_counts_global": (
+            "SELECT token, count(*)::BIGINT AS n FROM "
+            "(SELECT unnest(regexp_extract_all(text, '\\S+')) AS token FROM documents) "
+            "GROUP BY token"
+        ),
     }
