@@ -91,7 +91,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     n_rows = 600_000 * REPLICATE
     with timed("bloom_build"):
         ds = rd.read_parquet(li_paths, columns=["l_orderkey"])
-        pb, lineage = build_partitioned_bloom(ds, "l_orderkey", capacity=n_rows, num_shards=256)
+        # xxh64_split = one 64-bit hash pass, (h1,h2) from the two halves (valid
+        # KM pair) — the throughput-tuned hash config; probe inherits it from the
+        # filter's own metadata so build and probe always agree
+        pb, lineage = build_partitioned_bloom(
+            ds, "l_orderkey", capacity=n_rows, num_shards=256, hash_algo="xxh64_split"
+        )
     extras["bloom_build_rows"] = n_rows
     extras["bloom_build_rows_per_sec"] = round(n_rows / timings["bloom_build"], 1)
 
