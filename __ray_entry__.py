@@ -133,6 +133,16 @@ def q_window_events(sf_dir: str):
     return out[["event_type", "window_start", "n_events", "min_value", "max_value"]]
 
 
+def q_sliding_windows(sf_dir: str):
+    """Sliding windows (2h wide, 1h slide) per event_type — event fan-out inside
+    the batch, two-level aggregation."""
+    from raysketch.pipeline.events import sliding_window_agg
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    out = sliding_window_agg(ds, window_s=7200, slide_s=3600).to_pandas()
+    return out[["event_type", "window_start", "n_events"]]
+
+
 def q_sessionize(sf_dir: str):
     """Gap-based sessions per user (30-min gap)."""
     from raysketch.pipeline.events import sessionize
@@ -554,6 +564,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": q_token_stats,
         "quality_stats": q_quality_stats,
         "window_events": q_window_events,
+        "sliding_windows": q_sliding_windows,
         "sessionize": q_sessionize,
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
@@ -600,13 +611,20 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY lang"
         ),
         "window_events": (
-            "SELECT event_type, (epoch(ts)::BIGINT // 86400) * 86400 AS window_start, "
+            "SELECT event_type, (floor(epoch(ts))::BIGINT // 86400) * 86400 AS window_start, "
             "count(*)::BIGINT AS n_events, min(value) AS min_value, max(value) AS max_value "
             "FROM events GROUP BY event_type, window_start"
         ),
+        "sliding_windows": (
+            "SELECT event_type, window_start, count(*)::BIGINT AS n_events FROM ("
+            "  SELECT event_type, (floor(epoch(ts))::BIGINT // 3600) * 3600 AS window_start FROM events"
+            "  UNION ALL"
+            "  SELECT event_type, (floor(epoch(ts))::BIGINT // 3600) * 3600 - 3600 AS window_start FROM events"
+            ") GROUP BY event_type, window_start"
+        ),
         "sessionize": (
             "SELECT user_id, count(*)::BIGINT AS n_events, "
-            "(1 + sum(CASE WHEN prev IS NOT NULL AND epoch(ts) - epoch(prev) > 1800 THEN 1 ELSE 0 END))::BIGINT AS n_sessions "
+            "(1 + sum(CASE WHEN prev IS NOT NULL AND floor(epoch(ts))::BIGINT - floor(epoch(prev))::BIGINT > 1800 THEN 1 ELSE 0 END))::BIGINT AS n_sessions "
             "FROM (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events) "
             "GROUP BY user_id"
         ),

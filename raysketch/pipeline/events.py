@@ -60,6 +60,54 @@ def tumbling_window_agg(
     )
 
 
+def sliding_window_agg(
+    ds,
+    window_s: int,
+    slide_s: int,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+):
+    """Sliding windows (window_s wide, advancing by slide_s) per key. Each event
+    belongs to ``window_s // slide_s`` windows; the event is fanned out to its
+    windows *inside the batch* (vectorized repeat), then the same two-level
+    partial/final aggregation as the tumbling case. window_s must be a multiple
+    of slide_s. Output: (key, window_start, n_events, sum_value)."""
+    if window_s % slide_s:
+        raise ValueError("window_s must be a multiple of slide_s")
+    fan = window_s // slide_s
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col).combine_chunks()
+        epoch = pc.cast(ts, pa.int64()).to_numpy(zero_copy_only=False) // 1_000_000
+        keys = np.asarray(batch.column(key_col))
+        vals = batch.column(value_col).to_numpy(zero_copy_only=False)
+        # window starts containing t: floor((t - i*slide)/window)*... simpler:
+        # all starts s with s <= t < s+window and s ≡ 0 (mod slide):
+        base = (epoch // slide_s) * slide_s
+        starts = np.concatenate([base - i * slide_s for i in range(fan)])
+        k_rep = np.tile(keys, fan)
+        v_rep = np.tile(vals, fan)
+        df = pd.DataFrame({"k": k_rep, "w": starts, "v": v_rep})
+        g = df.groupby(["k", "w"], sort=False)["v"].agg(["count", "sum"]).reset_index()
+        return pa.table(
+            {
+                key_col: pa.array(g["k"], pa.string()),
+                "window_start": pa.array(g["w"], pa.int64()),
+                "n_events": pa.array(g["count"], pa.int64()),
+                "sum_value": pa.array(g["sum"], pa.float64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return parts.groupby([key_col, "window_start"]).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("sum_value", alias_name="sum_value"),
+    )
+
+
 def sessionize(
     ds,
     gap_s: int = 1800,
