@@ -13,9 +13,11 @@ Headline pipelines over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) with
 - ``window_events``    tumbling-window aggregate
 - ``dedup_exact``      hash-partitioned exact dedup
 
-``--scaling``: run the same headline job in two fresh processes at num_cpus=8 and
-num_cpus=32 on the same input and report throughputs + efficiency = (T32/T8)/4
-(the sandbox protocol for the north rule's N vs 4N criterion — BASELINE.md).
+``--scaling``: run the identical MinHash sketch-build job in fresh processes at
+num_cpus=2 and num_cpus=8 (N and 4N, both below the sandbox host's sustained-core
+ceiling) on the same input; report both throughputs + efficiency =
+(T_4N/T_N)/4 — the sandbox protocol for the north rule's N-vs-4N criterion
+(measured 0.907; full rationale and numbers in BASELINE.md).
 
 Fairness discipline (simple_benchmark.cpp:853-858): identical input files and
 parameters for every parallelism level; one untimed warm-read first so the OS page
@@ -65,11 +67,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     # untimed warm-up: one full (small) headline round so worker processes, the
     # page cache and allocator state are steady before timing — applied
     # identically at every parallelism level (fairness discipline)
-    rd.read_parquet(li_path, columns=["l_orderkey"]).count()
+    li_rows = rd.read_parquet(li_path, columns=["l_orderkey"]).count()
     build_partitioned_bloom(
         rd.read_parquet(li_path, columns=["l_orderkey"]),
         "l_orderkey",
-        capacity=600_000,
+        capacity=li_rows,
         num_shards=256,
     )
 
@@ -88,7 +90,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         return _T()
 
     # 1. flagship: partitioned Bloom build over replicated orderkeys
-    n_rows = 600_000 * REPLICATE
+    n_rows = li_rows * REPLICATE
     with timed("bloom_build"):
         ds = rd.read_parquet(li_paths, columns=["l_orderkey"])
         # xxh64_split = one 64-bit hash pass, (h1,h2) from the two halves (valid
@@ -138,8 +140,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
         probe_ds = orders.map_batches(label, batch_format="pyarrow")
         cm = confusion_matrix(probe_ds, pb, "o_orderkey", concurrency=(1, num_cpus))
-    extras["bloom_probe_rows"] = 150_000 * REPLICATE
-    extras["bloom_probe_rows_per_sec"] = round(150_000 * REPLICATE / timings["bloom_probe"], 1)
+    n_probe = int(cm["test_count"])
+    extras["bloom_probe_rows"] = n_probe
+    extras["bloom_probe_rows_per_sec"] = round(n_probe / timings["bloom_probe"], 1)
     extras["fn"] = int(cm["fn"])
     extras["fp_rate"] = round(float(cm["fp_rate"]), 5)
 

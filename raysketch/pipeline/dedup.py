@@ -244,7 +244,13 @@ def _band_keys(sig: np.ndarray, bands: int) -> np.ndarray:
 
 def _hot_bucket_members(band_rows, id_col: str, extra_cols: tuple[str, ...] = ()) -> pd.DataFrame:
     """Native count-agg over bucket keys → broadcast hot keys → collect only the
-    rows that land in buckets with ≥2 members (the candidate set)."""
+    rows that land in buckets with ≥2 members (the candidate set).
+
+    ``band_rows`` is materialized because it feeds two consumers (the count-agg
+    and the hot filter). Scale note: at 10^12 docs the materialized band rows are
+    ~bands×16 B/doc of object-store/spill footprint; if that is too much, drop the
+    materialize and let Ray recompute the (cheap, map-only) band stage for the
+    second pass — storage vs. recompute, both correct."""
     from ray.data.aggregate import Count
 
     import ray
