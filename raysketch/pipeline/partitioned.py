@@ -140,7 +140,12 @@ def _shuffle_build_rows(
     ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     try:
         if num_blocks is None:
-            num_blocks = min(num_shards, 64)
+            # HASH_SHUFFLE spawns one aggregator per output block — cap by the
+            # cluster's CPU count so a small session isn't flooded with workers
+            import ray
+
+            ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+            num_blocks = max(8, min(num_shards, 64, ncpu * 2))
         parts = hashed.repartition(num_blocks=num_blocks, keys=["shard"])
 
         def build_block(batch: pa.Table) -> pa.Table:
