@@ -445,6 +445,19 @@ def q_quantiles_tdigest(sf_dir: str):
     return pd.DataFrame({"q": qs, "value": td.quantiles(qs)})
 
 
+def q_quantiles_ddsketch(sf_dir: str):
+    """DDSketch quantiles (relative-error ≤ α guarantee, VLDB 2019)."""
+    import pandas as pd
+
+    from raysketch.pipeline.build import build_sketch
+    from raysketch.sketches.ddsketch import DDSketch
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    dd = build_sketch(ds, "l_extendedprice", lambda: DDSketch(alpha=0.01))
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    return pd.DataFrame({"q": qs, "value": dd.quantiles(qs)})
+
+
 def q_quantiles_kll(sf_dir: str):
     import pandas as pd
 
@@ -581,6 +594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_event_types": q_cms_event_types,
         "quantiles_tdigest": q_quantiles_tdigest,
         "quantiles_kll": q_quantiles_kll,
+        "quantiles_ddsketch": q_quantiles_ddsketch,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "embedding_dedup": q_embedding_dedup,

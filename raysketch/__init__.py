@@ -16,3 +16,4 @@ from raysketch.sketches.hll import HyperLogLog  # noqa: F401
 from raysketch.sketches.cms import CountMinSketch  # noqa: F401
 from raysketch.sketches.tdigest import TDigest  # noqa: F401
 from raysketch.sketches.kll import KLL  # noqa: F401
+from raysketch.sketches.ddsketch import DDSketch  # noqa: F401

@@ -134,9 +134,12 @@ class BroadcastSetSemiJoin:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         vals = np.asarray(batch.column(self.column).combine_chunks())
-        idx = np.searchsorted(self.lookup, vals)
-        idx = np.clip(idx, 0, len(self.lookup) - 1)
-        hit = self.lookup[idx] == vals
+        if len(self.lookup) == 0:
+            hit = np.zeros(len(vals), dtype=bool)
+        else:
+            idx = np.searchsorted(self.lookup, vals)
+            idx = np.clip(idx, 0, len(self.lookup) - 1)
+            hit = self.lookup[idx] == vals
         if self.negate:
             hit = ~hit
         return batch.filter(pa.array(hit))

@@ -264,3 +264,64 @@ def test_kll_roundtrip():
     back = sketch_from_bytes(k.to_bytes())
     assert back.quantile(0.5) == k.quantile(0.5)
     assert back.total == 5000
+
+
+# ---------------------------------------------------------------------------- ddsketch
+
+
+def test_ddsketch_relative_error_bound():
+    from raysketch.sketches.ddsketch import DDSketch
+
+    rng = np.random.default_rng(11)
+    data = rng.lognormal(2, 1.5, 100000)
+    dd = DDSketch(alpha=0.01)
+    for chunk in np.array_split(data, 10):
+        dd.update(chunk)
+    s = np.sort(data)
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        est = dd.quantile(q)
+        exact = s[int(q * (len(s) - 1))]
+        assert abs(est - exact) <= 0.0101 * exact, (q, est, exact)  # relative err ≤ α
+
+
+def test_ddsketch_negative_and_zero():
+    from raysketch.sketches.ddsketch import DDSketch
+
+    dd = DDSketch(alpha=0.02)
+    dd.update([-100.0, -1.0, 0.0, 0.0, 1.0, 100.0])
+    assert dd.total == 6
+    assert dd.quantile(0.0) <= -98
+    assert dd.quantile(0.5) == 0.0
+    assert abs(dd.quantile(1.0) - 100) <= 2.1
+
+
+def test_ddsketch_merge_equals_single_stream():
+    from raysketch.sketches.ddsketch import DDSketch
+
+    rng = np.random.default_rng(12)
+    data = rng.exponential(10, 50000)
+    parts = np.array_split(data, 8)
+    merged = DDSketch(alpha=0.01)
+    whole = DDSketch(alpha=0.01)
+    whole.update(data)
+    sks = []
+    for p in parts:
+        d = DDSketch(alpha=0.01)
+        d.update(p)
+        sks.append(d)
+    merged = sks[0]
+    for d in sks[1:]:
+        merged.merge(d)
+    # merge is exact: same buckets as the single-stream build
+    assert merged.pos == whole.pos and merged.total == whole.total
+
+
+def test_ddsketch_roundtrip():
+    from raysketch.sketches.base import sketch_from_bytes
+    from raysketch.sketches.ddsketch import DDSketch
+
+    dd = DDSketch(alpha=0.01)
+    dd.update(np.arange(1.0, 1000.0))
+    back = sketch_from_bytes(dd.to_bytes())
+    assert back.quantile(0.5) == dd.quantile(0.5)
+    assert back.total == dd.total
