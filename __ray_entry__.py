@@ -445,6 +445,29 @@ def q_quantiles_tdigest(sf_dir: str):
     return pd.DataFrame({"q": qs, "value": td.quantiles(qs)})
 
 
+def q_theta_set_ops(sf_dir: str):
+    """Theta-sketch set algebra: distinct orderkeys in orders (A) vs those
+    referenced by lineitem (B) — union / intersection / difference estimates
+    (the approximate intersect/except of SURVEY.md §2.4)."""
+    import pandas as pd
+
+    from raysketch.pipeline.build import build_sketch
+    from raysketch.sketches.theta import ThetaSketch
+
+    a = build_sketch(_read(sf_dir, "orders", ["o_orderkey"]), "o_orderkey", lambda: ThetaSketch(4096))
+    b = build_sketch(_read(sf_dir, "lineitem", ["l_orderkey"]), "l_orderkey", lambda: ThetaSketch(4096))
+    inter = a.intersect_estimate(b)
+    diff = a.difference_estimate(b)
+    union = ThetaSketch.from_bytes(a.to_bytes()).merge(b).estimate()
+    return pd.DataFrame(
+        [
+            {"op": "union", "estimate": float(union)},
+            {"op": "intersection", "estimate": float(inter)},
+            {"op": "difference_a_minus_b", "estimate": float(diff)},
+        ]
+    )
+
+
 def q_quantiles_ddsketch(sf_dir: str):
     """DDSketch quantiles (relative-error ≤ α guarantee, VLDB 2019)."""
     import pandas as pd
@@ -595,6 +618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_tdigest": q_quantiles_tdigest,
         "quantiles_kll": q_quantiles_kll,
         "quantiles_ddsketch": q_quantiles_ddsketch,
+        "theta_set_ops": q_theta_set_ops,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "embedding_dedup": q_embedding_dedup,

@@ -325,3 +325,56 @@ def test_ddsketch_roundtrip():
     back = sketch_from_bytes(dd.to_bytes())
     assert back.quantile(0.5) == dd.quantile(0.5)
     assert back.total == dd.total
+
+
+# ---------------------------------------------------------------------------- theta
+
+
+def test_theta_estimate_and_bounds():
+    from raysketch.sketches.theta import ThetaSketch
+
+    t = ThetaSketch(k=4096)
+    t.update_column(_keys(100000))
+    est = t.estimate()
+    assert abs(est - 100000) / 100000 <= 3 * t.rel_error
+
+
+def test_theta_set_algebra():
+    from raysketch.sketches.theta import ThetaSketch
+
+    # A = 0..59999, B = 40000..99999 → |A∪B|=100k, |A∩B|=20k, |A\B|=40k
+    a = ThetaSketch(k=4096)
+    b = ThetaSketch(k=4096)
+    a.update_column(_keys(60000))
+    b.update_column(pa.array([f"k{i:012d}" for i in range(40000, 100000)]))
+    inter = a.intersect_estimate(b)
+    diff = a.difference_estimate(b)
+    union = ThetaSketch.from_bytes(a.to_bytes()).merge(b).estimate()
+    assert abs(union - 100000) / 100000 <= 0.05
+    assert abs(inter - 20000) / 20000 <= 0.10
+    assert abs(diff - 40000) / 40000 <= 0.08
+
+
+def test_theta_merge_matches_single_build_exactly():
+    from raysketch.sketches.theta import ThetaSketch
+
+    a = ThetaSketch(k=1024)
+    b = ThetaSketch(k=1024)
+    a.update_column(_keys(5000, "x"))
+    b.update_column(_keys(5000, "y"))
+    whole = ThetaSketch(k=1024)
+    whole.update_column(_keys(5000, "x"))
+    whole.update_column(_keys(5000, "y"))
+    merged = ThetaSketch.from_bytes(a.to_bytes()).merge(b)
+    assert np.array_equal(merged.values, whole.values)
+    assert merged.theta == whole.theta
+
+
+def test_theta_roundtrip():
+    from raysketch.sketches.base import sketch_from_bytes
+    from raysketch.sketches.theta import ThetaSketch
+
+    t = ThetaSketch(k=256)
+    t.update_column(_keys(10000))
+    back = sketch_from_bytes(t.to_bytes())
+    assert back.estimate() == t.estimate()
