@@ -158,7 +158,7 @@ def q_semi_join(sf_dir: str):
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
     keys = [
         r["o_orderkey"]
-        for r in orders.filter(lambda row: row["o_totalprice"] > 200000.0).take_all()
+        for r in orders.filter(expr="o_totalprice > 200000.0").take_all()
     ]
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
     out = exact_semi_join(li, keys, "l_orderkey")
@@ -172,7 +172,7 @@ def q_anti_join(sf_dir: str):
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
     keys = [
         r["o_orderkey"]
-        for r in orders.filter(lambda row: row["o_totalprice"] > 200000.0).take_all()
+        for r in orders.filter(expr="o_totalprice > 200000.0").take_all()
     ]
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
     out = exact_semi_join(li, keys, "l_orderkey", negate=True)
@@ -219,7 +219,7 @@ def q_ann_topk(sf_dir: str):
     from raysketch.pipeline.ann import ann_cosine_topk
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    q0 = ds.filter(lambda r: r["vec_id"] == 0).take(1)[0]["embedding"]
+    q0 = ds.filter(expr="vec_id == 0").take(1)[0]["embedding"]
     out = ann_cosine_topk(ds, np.asarray([q0], dtype=np.float64), k=10)
     return out.select(["vec_id"]).to_pandas()
 
@@ -349,14 +349,25 @@ def q_bloom_membership(sf_dir: str):
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
 
     # ground-truth label oracle (the reference's unordered_set, small key domain):
-    # orderkeys present in lineitem are positives
-    li_keys = set()
-    for b in li.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        li_keys.update(np.asarray(b.column("l_orderkey")).tolist())
+    # orderkeys present in lineitem are positives. Sorted-unique numpy array,
+    # broadcast ONCE via ray.put, vectorized searchsorted labeling per batch —
+    # never a per-row Python `in` loop (bench.py's labeling discipline).
+    import ray
+
+    parts = []
+    for b in li.iter_batches(batch_size=262_144, batch_format="pyarrow"):
+        parts.append(np.unique(np.asarray(b.column("l_orderkey"))))
+    li_keys = np.unique(np.concatenate(parts)) if parts else np.empty(0, dtype=np.int64)
+    keys_ref = ray.put(li_keys)
 
     def label2(batch: pa.Table) -> pa.Table:
+        lk = ray.get(keys_ref)
         keys = np.asarray(batch.column("o_orderkey"))
-        isin = np.fromiter((int(k) in li_keys for k in keys), count=len(keys), dtype=bool)
+        if len(lk) == 0:
+            isin = np.zeros(len(keys), dtype=bool)
+        else:
+            idx = np.clip(np.searchsorted(lk, keys), 0, len(lk) - 1)
+            isin = lk[idx] == keys
         return pa.table({"l_orderkey": pa.array(keys), "is_positive": pa.array(isin)})
 
     probe_ds = orders.map_batches(label2, batch_format="pyarrow")
@@ -518,7 +529,7 @@ def q_ann_ivf(sf_dir: str):
     from raysketch.pipeline.ann import ann_ivf_topk
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    q0 = ds.filter(lambda r: r["vec_id"] == 0).take(1)[0]["embedding"]
+    q0 = ds.filter(expr="vec_id == 0").take(1)[0]["embedding"]
     return ann_ivf_topk(ds, np.asarray([q0], dtype=np.float32), k=10, nlist=8, nprobe=4).to_pandas()
 
 

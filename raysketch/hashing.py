@@ -180,8 +180,20 @@ def column_spans(col) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         elif pa.types.is_large_string(t) or pa.types.is_large_binary(t):
             off_dtype = np.int64
         elif pa.types.is_integer(t) or pa.types.is_floating(t) or pa.types.is_timestamp(t):
-            np_arr = col.to_numpy(zero_copy_only=False)
-            return _fixed_width_spans(np_arr)
+            # raw little-endian value bytes straight from the Arrow data buffer —
+            # zero-copy AND null-safe. (to_numpy on an int column with ANY null
+            # promotes the whole batch to float64, silently changing every value's
+            # hash vs null-free batches.) Null rows get zero-length spans, so they
+            # hash as empty strings — same rule as the string/binary path.
+            width = t.bit_width // 8
+            bufs = col.buffers()
+            data = np.frombuffer(bufs[1], dtype=np.uint8)
+            starts = (np.arange(len(col), dtype=np.int64) + col.offset) * width
+            lengths = np.full(len(col), width, dtype=np.int64)
+            if col.null_count:
+                valid = col.is_valid().to_numpy(zero_copy_only=False)
+                lengths[~valid] = 0
+            return data, starts, lengths
         else:
             raise TypeError(f"unsupported Arrow type for hashing: {t}")
         bufs = col.buffers()

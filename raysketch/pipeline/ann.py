@@ -26,28 +26,58 @@ def _normalize(M: np.ndarray) -> np.ndarray:
 
 
 class _BatchTopK:
-    """Actor-pool stage: broadcast queries in __init__, per-batch matmul + local top-k."""
+    """Actor-pool stage: broadcast queries in __init__, per-batch matmul + local
+    top-k. Scores are computed in float64 by default so near-tied cosine values
+    order identically to a SQL double oracle; pass dtype=np.float32 for the
+    half-bandwidth throughput path.
 
-    def __init__(self, queries_ref, k: int, emb_col: str, id_col: str):
+    IVF mode: ``allowed_ref`` is an (nlist, nq) bool matrix (list l allowed for
+    query q) and ``list_col`` names the per-vector list column; disallowed
+    (vector, query) scores are set to -inf BEFORE the local top-k selection, so a
+    query's k slots are never displaced by vectors from lists it didn't probe."""
+
+    def __init__(
+        self,
+        queries_ref,
+        k: int,
+        emb_col: str,
+        id_col: str,
+        dtype=np.float64,
+        allowed_ref=None,
+        list_col: str | None = None,
+    ):
         Q = ray.get(queries_ref) if not isinstance(queries_ref, np.ndarray) else queries_ref
-        self.Q = _normalize(np.asarray(Q, dtype=np.float32))
+        self.Q = _normalize(np.asarray(Q, dtype=dtype))
         self.k = k
         self.emb_col = emb_col
         self.id_col = id_col
+        self.dtype = dtype
+        if allowed_ref is None:
+            self.allowed = None
+        else:
+            self.allowed = (
+                ray.get(allowed_ref) if not isinstance(allowed_ref, np.ndarray) else allowed_ref
+            )
+        self.list_col = list_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        V = _normalize(embedding_matrix(batch.column(self.emb_col)).astype(np.float32))
+        V = _normalize(embedding_matrix(batch.column(self.emb_col)).astype(self.dtype))
         ids = np.asarray(batch.column(self.id_col))
         scores = V @ self.Q.T  # (n, q)
+        if self.allowed is not None:
+            lst = np.asarray(batch.column(self.list_col))
+            scores[~self.allowed[lst]] = -np.inf
         k = min(self.k, len(ids))
         top = np.argpartition(-scores, kth=k - 1, axis=0)[:k]  # (k, q)
         q_idx = np.repeat(np.arange(self.Q.shape[0]), k)
         v_idx = top.T.ravel()
+        sel = scores[v_idx, q_idx]
+        keep = np.isfinite(sel)
         return pa.table(
             {
-                "query_id": pa.array(q_idx.astype(np.int64)),
-                self.id_col: pa.array(ids[v_idx].astype(np.int64)),
-                "score": pa.array(scores[v_idx, q_idx].astype(np.float64)),
+                "query_id": pa.array(q_idx[keep].astype(np.int64)),
+                self.id_col: pa.array(ids[v_idx[keep]].astype(np.int64)),
+                "score": pa.array(sel[keep].astype(np.float64)),
             }
         )
 
@@ -61,8 +91,9 @@ def ann_cosine_topk(
     concurrency: int | tuple = (1, 8),
 ) -> pa.Table:
     """Exact cosine top-k per query via distributed partial top-k + final merge.
-    Returns ``(query_id, vec_id, score)`` sorted by (query_id, -score, vec_id)."""
-    qref = ray.put(np.asarray(queries, dtype=np.float32))
+    Returns ``(query_id, vec_id, score)`` sorted by (query_id, -score, vec_id).
+    float64 math end-to-end — ties order identically to a SQL double oracle."""
+    qref = ray.put(np.asarray(queries, dtype=np.float64))
     partials = ds.select_columns([id_col, emb_col]).map_batches(
         _BatchTopK,
         fn_constructor_kwargs={"queries_ref": qref, "k": k, "emb_col": emb_col, "id_col": id_col},
@@ -99,9 +130,16 @@ def ann_cosine_topk(
 
 
 def train_centroids(ds, emb_col: str, nlist: int, sample_rows: int = 10000, iters: int = 10, seed: int = 9) -> np.ndarray:
-    """Lightweight k-means on a driver-side sample (the model-training step is
-    sample-sized by design; assignment stays distributed)."""
-    sample = ds.select_columns([emb_col]).limit(sample_rows).take_all()
+    """Lightweight k-means on a driver-side UNBIASED sample (``random_sample``
+    touches every block with the same probability; ``limit`` would take only the
+    first blocks — a biased sample when the table is ordered). The model-training
+    step is sample-sized by design; assignment stays distributed."""
+    total = ds.count()
+    col = ds.select_columns([emb_col])
+    if total > sample_rows:
+        # oversample slightly, then trim — random_sample is probabilistic
+        col = col.random_sample(min(1.0, 1.2 * sample_rows / total), seed=seed).limit(sample_rows)
+    sample = col.take_all()
     X = _normalize(
         np.stack([np.asarray(r[emb_col], dtype=np.float32) for r in sample])
     )
@@ -159,12 +197,25 @@ def ann_ivf_topk(
         return batch.filter(pa.array(np.isin(lst, wanted)))
 
     pruned = assigned.map_batches(filter_lists, batch_format="pyarrow", zero_copy_batch=True)
-    # reuse the brute-force partial top-k over the pruned subset, then mask each
-    # query's results to its probed lists at merge time
+    # reuse the brute-force partial top-k over the pruned subset, with each
+    # query's scores masked to exactly its own probed lists BEFORE the local
+    # selection (the pruned set is the UNION of all queries' lists — without the
+    # mask a query could surface, or have its k slots displaced by, vectors from
+    # lists it never probed, diverging from single-query IVF semantics)
+    allowed = np.zeros((len(C), len(Q)), dtype=bool)
+    for qi in range(len(Q)):
+        allowed[probe_lists[qi], qi] = True
     qref = ray.put(Q)
     partials = pruned.map_batches(
         _BatchTopK,
-        fn_constructor_kwargs={"queries_ref": qref, "k": k, "emb_col": emb_col, "id_col": id_col},
+        fn_constructor_kwargs={
+            "queries_ref": qref,
+            "k": k,
+            "emb_col": emb_col,
+            "id_col": id_col,
+            "allowed_ref": ray.put(allowed),
+            "list_col": "ivf_list",
+        },
         batch_format="pyarrow",
         concurrency=concurrency,
         zero_copy_batch=True,

@@ -65,6 +65,12 @@ def checkpointed_partitioned_bloom(
     Only rows routed to UNFINISHED shards cross the shuffle on resume — finished
     shards are filtered out right after the hash stage, before any row moves.
     """
+    if algo not in ("classic",):
+        # fail before any shard checkpoint is written (PartitionedBloom would
+        # reject the algo only at final load — after the whole distributed build)
+        raise ValueError(
+            f"checkpointed_partitioned_bloom supports algo='classic' (got {algo!r})"
+        )
     os.makedirs(ckpt_dir, exist_ok=True)
     manifest_path = os.path.join(ckpt_dir, "manifest.json")
     params = {

@@ -16,6 +16,18 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+_UNIT_DIV = {"s": 1, "ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}
+
+
+def _epoch_seconds(ts) -> np.ndarray:
+    """Epoch seconds (int64, floor) from a timestamp column of ANY unit — the
+    divisor is derived from ``ts.type.unit`` instead of hard-coding [us]."""
+    if isinstance(ts, pa.ChunkedArray):
+        ts = ts.combine_chunks()
+    div = _UNIT_DIV[ts.type.unit] if pa.types.is_timestamp(ts.type) else 1
+    raw = pc.cast(ts, pa.int64()).to_numpy(zero_copy_only=False)
+    return raw // div  # floor division → floor(epoch), incl. pre-1970 values
+
 
 def tumbling_window_agg(
     ds,
@@ -31,8 +43,7 @@ def tumbling_window_agg(
     """
 
     def partial(batch: pa.Table) -> pa.Table:
-        ts = batch.column(ts_col).combine_chunks()
-        epoch = pc.cast(ts, pa.int64()).to_numpy(zero_copy_only=False) // 1_000_000
+        epoch = _epoch_seconds(batch.column(ts_col))
         window = (epoch // window_s) * window_s
         keys = np.asarray(batch.column(key_col))
         vals = batch.column(value_col).to_numpy(zero_copy_only=False)
@@ -78,8 +89,7 @@ def sliding_window_agg(
     fan = window_s // slide_s
 
     def partial(batch: pa.Table) -> pa.Table:
-        ts = batch.column(ts_col).combine_chunks()
-        epoch = pc.cast(ts, pa.int64()).to_numpy(zero_copy_only=False) // 1_000_000
+        epoch = _epoch_seconds(batch.column(ts_col))
         keys = np.asarray(batch.column(key_col))
         vals = batch.column(value_col).to_numpy(zero_copy_only=False)
         # window starts containing t: floor((t - i*slide)/window)*... simpler:
@@ -117,20 +127,61 @@ def sessionize(
     """Gap-based sessionization per user: a new session starts when the gap from
     the previous event exceeds ``gap_s``. Returns (user_id, n_events, n_sessions).
 
-    Shuffle key = user_id; within a group the events are sorted by ts (pandas) —
-    the ordered-log-per-key pattern."""
+    Scale-safe shape (no ``map_groups`` — that is one Python call + one DataFrame
+    PER USER, fatal at O(users) cardinality): narrow (user, epoch_s) rows →
+    HASH_SHUFFLE ``repartition(keys=[user_id])`` so each output block holds whole
+    users → ONE vectorized task per block (lexsort by (user, ts), ``np.diff``
+    session starts, segment sums via cumsum) — the ordered-log-per-key pattern
+    with per-block, not per-group, Python dispatch."""
+    from ray.data.context import ShuffleStrategy
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        # unit-safe: cast to second resolution first (pandas may carry ns or us)
-        ts = g[ts_col].sort_values().astype("datetime64[s]").astype("int64").to_numpy()
-        gaps = np.diff(ts, prepend=ts[0])
-        n_sessions = int((gaps > gap_s).sum()) + 1
-        return pd.DataFrame(
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
             {
-                key_col: [g[key_col].iloc[0]],
-                "n_events": [len(g)],
-                "n_sessions": [n_sessions],
+                key_col: batch.column(key_col),
+                "__ts": pa.array(_epoch_seconds(batch.column(ts_col))),
             }
         )
 
-    return ds.groupby(key_col).map_groups(per_user, batch_format="pandas")
+    narrow = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    # the returned Dataset is lazy — the strategy must still be HASH_SHUFFLE on
+    # its captured context when the consumer finally executes it, so no restore
+    narrow.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    parts = narrow.repartition(num_blocks=max(8, min(64, ncpu * 2)), keys=[key_col])
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "n_sessions": pa.array([], pa.int64()),
+                }
+            )
+        u = np.asarray(batch.column(key_col).combine_chunks())
+        t = np.asarray(batch.column("__ts").combine_chunks())
+        order = np.lexsort((t, u))
+        us, ts_ = u[order], t[order]
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        np.not_equal(us[1:], us[:-1], out=new_user[1:])
+        gaps = np.empty(n, dtype=np.int64)
+        gaps[0] = 0
+        np.subtract(ts_[1:], ts_[:-1], out=gaps[1:])
+        new_sess = new_user | (gaps > gap_s)
+        bounds = np.append(np.nonzero(new_user)[0], n)
+        cs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(new_sess, out=cs[1:])
+        return pa.table(
+            {
+                key_col: pa.array(us[bounds[:-1]]),
+                "n_events": pa.array(bounds[1:] - bounds[:-1]),
+                "n_sessions": pa.array(cs[bounds[1:]] - cs[bounds[:-1]]),
+            }
+        )
+
+    return parts.map_batches(per_block, batch_format="pyarrow", batch_size=None)

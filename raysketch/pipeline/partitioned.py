@@ -77,6 +77,13 @@ def build_partitioned_bloom(
     Returns ``(filter, lineage)``; lineage rows are per shard (shuffle) or per
     input block (partial): ``(shard|block, rows_in, build_ms, state_bytes)``.
     """
+    if algo not in ("classic",):
+        # fail BEFORE the distributed hash+shuffle+build, not at the final
+        # PartitionedBloom assemble (which would waste the whole job)
+        raise ValueError(
+            f"build_partitioned_bloom supports algo='classic' (got {algo!r}); "
+            "blocked layouts are single-filter BloomSketch variants"
+        )
     per_shard_capacity = max(1, math.ceil(capacity / num_shards))
     if mode == "auto":
         from raysketch.sketches.bloom import bloom_geometry

@@ -96,33 +96,57 @@ _LANG_MARKERS = {
 
 
 class LangIdStage:
-    """Heuristic language ID by function-word hits — stateful stage: the marker →
-    language lookup is built once per actor (the model-load-in-__init__ pattern)."""
+    """Heuristic language ID by function-word hits — stateful stage: the sorted
+    marker-hash table is built once per actor (the model-load-in-__init__
+    pattern).
+
+    Fully vectorized batch path (no ``to_pylist``, no per-row regex): Arrow
+    ``utf8_lower`` → one xxh64 pass over all whitespace tokens of the batch
+    (``_token_hashes``) → binary-search lookup against the hashed marker table →
+    per-(doc, lang) scores via 1-D cumsum segment sums → argmax. Ties and
+    zero-score docs resolve exactly as the scalar version (first language wins;
+    no hits → "und")."""
 
     def __init__(self, col: str = "text", out: str = "lang_pred"):
+        from raysketch.hashing import xxh64_scalar
+
         self.col = col
         self.out = out
-        self.marker_lang: dict[str, int] = {}
         self.langs = list(_LANG_MARKERS)
-        for li, (lang, words) in enumerate(_LANG_MARKERS.items()):
+        hashes, lidx = [], []
+        for li, words in enumerate(_LANG_MARKERS.values()):
             for w in words:
-                self.marker_lang[w] = li
+                hashes.append(xxh64_scalar(w.encode(), 0))
+                lidx.append(li)
+        h = np.array(hashes, dtype=np.uint64)
+        order = np.argsort(h)
+        self.marker_h = h[order]
+        self.marker_lang = np.array(lidx, dtype=np.int64)[order]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import re
+        from raysketch.pipeline.dedup import _token_hashes
 
-        texts = batch.column(self.col).to_pylist()
-        out = []
-        nlang = len(self.langs)
-        for t in texts:
-            scores = [0] * nlang
-            for tok in re.findall(r"\S+", (t or "").lower())[:200]:
-                li = self.marker_lang.get(tok)
-                if li is not None:
-                    scores[li] += 1
-            best = max(range(nlang), key=scores.__getitem__)
-            out.append(self.langs[best] if scores[best] > 0 else "und")
-        return batch.append_column(self.out, pa.array(out, type=pa.string()))
+        texts = batch.column(self.col).combine_chunks()
+        lowered = pc.utf8_lower(texts)
+        th, doc_offs = _token_hashes(lowered)
+        ndoc = len(doc_offs) - 1
+        if len(th) == 0:
+            return batch.append_column(self.out, pa.array(["und"] * ndoc, pa.string()))
+        idx = np.clip(np.searchsorted(self.marker_h, th), 0, len(self.marker_h) - 1)
+        lang_of = np.where(self.marker_h[idx] == th, self.marker_lang[idx], -1)
+        best_score = np.zeros(ndoc, dtype=np.int64)
+        best_lang = np.full(ndoc, -1, dtype=np.int64)
+        cs = np.empty(len(th) + 1, dtype=np.int64)
+        cs[0] = 0
+        for li in range(len(self.langs)):
+            np.cumsum(lang_of == li, out=cs[1:])
+            score = cs[doc_offs[1:]] - cs[doc_offs[:-1]]
+            better = score > best_score
+            best_score = np.where(better, score, best_score)
+            best_lang = np.where(better, li, best_lang)
+        langs_arr = np.array(self.langs)
+        preds = np.where(best_lang >= 0, langs_arr[np.maximum(best_lang, 0)], "und")
+        return batch.append_column(self.out, pa.array(preds.tolist(), type=pa.string()))
 
 
 def fingerprint_batch(batch: pa.Table, col: str = "text", out: str = "fingerprint") -> pa.Table:

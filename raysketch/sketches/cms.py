@@ -52,31 +52,40 @@ class CountMinSketch:
     def delta(self) -> float:
         return math.exp(-self.depth)
 
-    def _rows(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
-        """(depth, n) column indices via KM double hashing with uint32 wrap."""
-        j = np.arange(self.depth, dtype=np.uint32)
+    def _row(self, h1: np.ndarray, h2: np.ndarray, j: int) -> np.ndarray:
+        """Row-j column indices via KM double hashing with uint32 wrap — a 1-D
+        temporary per depth row (multi-MB 2-D temps are up to 100× slower inside
+        Ray workers; see CLAUDE.md)."""
         with np.errstate(over="ignore"):
-            s = h1[None, :] + j[:, None] * h2[None, :]
-        return s.astype(np.int64) % self.width
+            g = h1 + np.uint32(j) * h2
+        pos = g.astype(np.int64)
+        pos %= self.width
+        return pos
 
     def update_hashes(self, h1: np.ndarray, h2: np.ndarray, weights=None) -> None:
         n = len(h1)
         if n == 0:
             return
-        pos = self._rows(h1.astype(np.uint32, copy=False), h2.astype(np.uint32, copy=False))
+        h1 = h1.astype(np.uint32, copy=False)
+        h2 = h2.astype(np.uint32, copy=False)
         if weights is None:
             w = np.ones(n, dtype=np.int64)
         else:
             w = np.asarray(weights, dtype=np.int64)
         for j in range(self.depth):
             # bincount-based scatter-add: faster than np.add.at for large n
-            self.table[j] += np.bincount(pos[j], weights=w, minlength=self.width).astype(np.int64)
+            self.table[j] += np.bincount(
+                self._row(h1, h2, j), weights=w, minlength=self.width
+            ).astype(np.int64)
         self.total += int(w.sum())
 
     def query_hashes(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
-        pos = self._rows(h1.astype(np.uint32, copy=False), h2.astype(np.uint32, copy=False))
-        ests = self.table[np.arange(self.depth)[:, None], pos]
-        return ests.min(axis=0)
+        h1 = h1.astype(np.uint32, copy=False)
+        h2 = h2.astype(np.uint32, copy=False)
+        est = self.table[0][self._row(h1, h2, 0)]
+        for j in range(1, self.depth):
+            np.minimum(est, self.table[j][self._row(h1, h2, j)], out=est)
+        return est
 
     def update_column(self, col, weights=None) -> None:
         h1, h2 = hash_pair(col, algo=self.hash_algo, seeds=self.seeds)

@@ -139,3 +139,25 @@ def test_column_spans_object_ndarray():
     data, starts, lengths = column_spans(arr)
     assert lengths.tolist() == [3, 2, 0]
     assert bytes(data[starts[0] : starts[0] + 3]) == b"abc"
+
+
+def test_numeric_nulls_hash_consistently():
+    """A null in a numeric batch must not change other values' hashes (ADVICE r1:
+    to_numpy promoted int→float64 on any null, silently breaking Bloom's
+    no-false-negative guarantee for nullable numeric columns)."""
+    a = pa.array([1, 2, 3], pa.int64())
+    b = pa.array([1, 2, None], pa.int64())
+    ha, hb = hash_column(a), hash_column(b)
+    assert ha[0] == hb[0] and ha[1] == hb[1]
+    # nulls hash as empty strings — same rule as the string path
+    assert hb[2] == xxh64_scalar(b"", 0)
+    # sliced arrays honour the offset
+    c = pa.array([9, 1, 2, None], pa.int64()).slice(1)
+    assert (hash_column(c) == hb).all()
+    # floats and timestamps too
+    f_null = hash_column(pa.array([1.5, None], pa.float64()))
+    f_clean = hash_column(pa.array([1.5], pa.float64()))
+    assert f_null[0] == f_clean[0]
+    t_null = hash_column(pa.array([1_000_000, None], pa.timestamp("us")))
+    t_clean = hash_column(pa.array([1_000_000], pa.timestamp("us")))
+    assert t_null[0] == t_clean[0]

@@ -90,3 +90,65 @@ def test_sliding_window_matches_pandas(ray_session):
     assert len(m) == len(exp) == len(got)
     assert (m["n_events"] == m["count"]).all()
     assert np.allclose(m["sum_value"], m["sum"])
+
+
+def test_window_epoch_unit_safe(ray_session):
+    """Tumbling windows must yield identical window_start for the same instants
+    carried as timestamp[s]/[ms]/[us]/[ns] (ADVICE r1: the [us] divisor was
+    hard-coded → 1000x-off windows for other units)."""
+    import ray.data as rd
+
+    from raysketch.pipeline.events import tumbling_window_agg
+
+    secs = np.array([0, 100, 86_400, 86_500, 200_000], dtype=np.int64)
+    frames = {}
+    for unit, mult in [("s", 1), ("ms", 1_000), ("us", 1_000_000), ("ns", 1_000_000_000)]:
+        tbl = pa.table(
+            {
+                "ts": pa.array(secs * mult, pa.timestamp(unit)),
+                "event_type": pa.array(["a"] * len(secs)),
+                "value": pa.array([1.0] * len(secs)),
+            }
+        )
+        out = tumbling_window_agg(rd.from_arrow(tbl), window_s=86_400).to_pandas()
+        frames[unit] = out.sort_values("window_start").reset_index(drop=True)
+    for unit in ("ms", "us", "ns"):
+        pd.testing.assert_frame_equal(frames["s"], frames[unit])
+    assert frames["s"]["window_start"].tolist() == [0, 86_400, 172_800]
+
+
+def test_sessionize_vectorized_no_map_groups(ray_session):
+    """sessionize: HASH_SHUFFLE repartition + per-block segment math must match a
+    pandas per-user oracle (and the plan must not contain a MapGroups stage)."""
+    import ray.data as rd
+
+    from raysketch.pipeline.events import sessionize
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    users = rng.integers(0, 200, size=n)
+    ts = np.sort(rng.integers(0, 1_000_000, size=n))
+    tbl = pa.table(
+        {
+            "user_id": pa.array(users, pa.int64()),
+            "ts": pa.array(ts * 1_000_000, pa.timestamp("us")),
+        }
+    )
+    got = (
+        sessionize(rd.from_arrow(tbl), gap_s=1800)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    df = pd.DataFrame({"user_id": users, "ts": ts}).sort_values(["user_id", "ts"])
+    exp = (
+        df.groupby("user_id")["ts"]
+        .agg(
+            n_events="size",
+            n_sessions=lambda s: int((np.diff(s.to_numpy()) > 1800).sum()) + 1,
+        )
+        .reset_index()
+    )
+    exp["n_events"] = exp["n_events"].astype("int64")
+    exp["n_sessions"] = exp["n_sessions"].astype("int64")
+    pd.testing.assert_frame_equal(got, exp)
