@@ -335,24 +335,19 @@ def q_dedup_incremental(sf_dir: str):
     )
 
 
-def q_bloom_membership(sf_dir: str):
-    """Flagship: partitioned-Bloom build over lineitem orderkeys + probe stage +
-    confusion matrix vs exact labels (reference protocol, simple_benchmark.cpp)."""
-    import pandas as pd
+def _bloom_membership_setup(sf_dir: str):
+    """Shared build + labeled-probe-set prep for the membership queries: build the
+    partitioned Bloom over lineitem orderkeys, then label the orders keys with
+    the exact oracle (sorted-unique numpy array broadcast ONCE via ray.put,
+    vectorized searchsorted per batch — never a per-row Python `in` loop)."""
+    import ray
 
     from raysketch.pipeline.partitioned import build_partitioned_bloom
-    from raysketch.pipeline.probe import confusion_matrix
 
     li = _read(sf_dir, "lineitem", ["l_orderkey"])
     n = li.count()
     pb, lineage = build_partitioned_bloom(li, "l_orderkey", capacity=max(n, 1), num_shards=32)
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
-
-    # ground-truth label oracle (the reference's unordered_set, small key domain):
-    # orderkeys present in lineitem are positives. Sorted-unique numpy array,
-    # broadcast ONCE via ray.put, vectorized searchsorted labeling per batch —
-    # never a per-row Python `in` loop (bench.py's labeling discipline).
-    import ray
 
     parts = []
     for b in li.iter_batches(batch_size=262_144, batch_format="pyarrow"):
@@ -371,7 +366,12 @@ def q_bloom_membership(sf_dir: str):
         return pa.table({"l_orderkey": pa.array(keys), "is_positive": pa.array(isin)})
 
     probe_ds = orders.map_batches(label2, batch_format="pyarrow")
-    cm = confusion_matrix(probe_ds, pb, "l_orderkey")
+    return pb, probe_ds
+
+
+def _cm_frame(pb, cm):
+    import pandas as pd
+
     return pd.DataFrame(
         [
             {
@@ -386,6 +386,26 @@ def q_bloom_membership(sf_dir: str):
             }
         ]
     )
+
+
+def q_bloom_membership(sf_dir: str):
+    """Flagship: partitioned-Bloom build over lineitem orderkeys + broadcast probe
+    stage + confusion matrix vs exact labels (reference protocol,
+    simple_benchmark.cpp)."""
+    from raysketch.pipeline.probe import confusion_matrix
+
+    pb, probe_ds = _bloom_membership_setup(sf_dir)
+    return _cm_frame(pb, confusion_matrix(probe_ds, pb, "l_orderkey"))
+
+
+def q_bloom_membership_shuffle(sf_dir: str):
+    """Same membership metrics via the SHARD-ROUTED probe (probe rows shuffled to
+    the worker owning their sub-filter — gloom.h:216-230 contains-routing; the
+    too-big-to-broadcast regime). Counts are bitwise-equal to q_bloom_membership."""
+    from raysketch.pipeline.probe import confusion_matrix_shuffle
+
+    pb, probe_ds = _bloom_membership_setup(sf_dir)
+    return _cm_frame(pb, confusion_matrix_shuffle(probe_ds, pb, "l_orderkey"))
 
 
 def q_bloom_semi_join(sf_dir: str):
@@ -519,10 +539,38 @@ def q_simhash_dedup(sf_dir: str):
 
 
 def q_embedding_dedup(sf_dir: str):
-    from raysketch.pipeline.dedup import embedding_cosine_dedup
+    """Embedding near-dup clustering over the embeddings table + deterministic
+    planted near-dups (the driver's random vectors carry no true near-dups — max
+    pairwise cosine ≈ 0.51 at sf0.01 — so every 10th vector gets a jittered copy
+    at ``vec_id + 1_000_000``; jitter is a pure function of (vec_id, dim), no
+    RNG state). The operator must recover exactly the planted pairs: one cluster
+    per copy, cluster_id = the original vec_id."""
+    from raysketch.pipeline.dedup import embedding_cosine_dedup, embedding_matrix
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return embedding_cosine_dedup(ds, threshold=0.99).to_pandas()
+
+    def plant(batch: pa.Table) -> pa.Table:
+        V = embedding_matrix(batch.column("embedding")).astype(np.float64)
+        ids = np.asarray(batch.column("vec_id"))
+        take = ids % 10 == 0
+        Vc = V[take]
+        d = V.shape[1]
+        jitter = (
+            ((ids[take][:, None] * 31 + np.arange(d)[None, :]) % 97 - 48).astype(np.float64)
+            * 1e-5
+        )
+        Vc = Vc + jitter
+        all_v = np.concatenate([V, Vc])
+        all_ids = np.concatenate([ids, ids[take] + 1_000_000])
+        return pa.table(
+            {
+                "vec_id": pa.array(all_ids.astype(np.int64)),
+                "embedding": pa.array(list(all_v.astype(np.float32))),
+            }
+        )
+
+    planted = ds.map_batches(plant, batch_format="pyarrow", zero_copy_batch=True)
+    return embedding_cosine_dedup(planted, threshold=0.99).to_pandas()
 
 
 def q_ann_ivf(sf_dir: str):
@@ -622,6 +670,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts_global": q_token_counts_global,
         # sketch / approximate (rows-only)
         "bloom_membership": q_bloom_membership,
+        "bloom_membership_shuffle": q_bloom_membership_shuffle,
         "bloom_semi_join": q_bloom_semi_join,
         "hll_distinct": q_hll_distinct,
         "hll_by_lang": q_hll_by_lang,

@@ -97,6 +97,65 @@ def murmur3_32_scalar(data: bytes, seed: int = 0) -> int:
     return h
 
 
+_XX32_P1 = np.uint32(2654435761)
+_XX32_P2 = np.uint32(2246822519)
+_XX32_P3 = np.uint32(3266489917)
+_XX32_P4 = np.uint32(668265263)
+_XX32_P5 = np.uint32(374761393)
+
+
+def xxh32_scalar(data: bytes, seed: int = 0) -> int:
+    """XXH32 of ``data`` — pure-Python spec implementation (xxHash spec, Yann
+    Collet, BSD; the reference benches the XXH32/XXH64 pair side by side,
+    simple_benchmark.cpp:35-40)."""
+    p1, p2, p3, p4, p5 = 2654435761, 2246822519, 3266489917, 668265263, 374761393
+
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (32 - r))) & _MASK32
+
+    n = len(data)
+    seed &= _MASK32
+    i = 0
+    if n >= 16:
+        a1 = (seed + p1 + p2) & _MASK32
+        a2 = (seed + p2) & _MASK32
+        a3 = seed
+        a4 = (seed - p1) & _MASK32
+        while i + 16 <= n:
+            for j, a in enumerate((a1, a2, a3, a4)):
+                lane = int.from_bytes(data[i + 4 * j : i + 4 * j + 4], "little")
+                a = (a + lane * p2) & _MASK32
+                a = (rotl(a, 13) * p1) & _MASK32
+                if j == 0:
+                    a1 = a
+                elif j == 1:
+                    a2 = a
+                elif j == 2:
+                    a3 = a
+                else:
+                    a4 = a
+            i += 16
+        h = (rotl(a1, 1) + rotl(a2, 7) + rotl(a3, 12) + rotl(a4, 18)) & _MASK32
+    else:
+        h = (seed + p5) & _MASK32
+    h = (h + n) & _MASK32
+    while i + 4 <= n:
+        lane = int.from_bytes(data[i : i + 4], "little")
+        h = (h + lane * p3) & _MASK32
+        h = (rotl(h, 17) * p4) & _MASK32
+        i += 4
+    while i < n:
+        h = (h + data[i] * p5) & _MASK32
+        h = (rotl(h, 11) * p1) & _MASK32
+        i += 1
+    h ^= h >> 15
+    h = (h * p2) & _MASK32
+    h ^= h >> 13
+    h = (h * p3) & _MASK32
+    h ^= h >> 16
+    return h
+
+
 def _xx_rotl(x: int, r: int) -> int:
     return ((x << r) | (x >> (64 - r))) & _MASK64
 
@@ -328,6 +387,91 @@ def murmur3_32_vec(
 
 
 # ---------------------------------------------------------------------------
+# vectorized xxh32
+# ---------------------------------------------------------------------------
+
+
+def xxh32_vec(
+    data: np.ndarray, starts: np.ndarray, lengths: np.ndarray, seed: int = 0
+) -> np.ndarray:
+    """Vectorized XXH32 over per-row byte spans → uint32 array. Same
+    block-index-loop scheme as the other kernels: iteration j processes the j-th
+    16-byte stripe of every row that still has one."""
+    n = len(starts)
+    if n == 0:
+        return np.empty(0, dtype=np.uint32)
+    seed32 = _U32(seed & _MASK32)
+    nstripes = np.where(lengths >= 16, lengths // 16, 0).astype(np.int64)
+    uniform = bool((lengths == lengths[0]).all())
+    if uniform:
+        order = None
+        sb, sl, ns = starts, lengths, nstripes
+        ns_asc = ns
+        lm = lengths >= 16
+    else:
+        order = np.argsort(-nstripes, kind="stable")
+        sb, sl, ns = starts[order], lengths[order], nstripes[order]
+        ns_asc = ns[::-1]
+        lm = sl >= 16
+
+    with np.errstate(over="ignore"):
+        h = np.full(n, seed32 + _XX32_P5, dtype=np.uint32)
+        nlong = int(lm.sum())
+        if nlong:
+            a1 = np.full(nlong, seed32 + _XX32_P1 + _XX32_P2, dtype=np.uint32)
+            a2 = np.full(nlong, seed32 + _XX32_P2, dtype=np.uint32)
+            a3 = np.full(nlong, seed32, dtype=np.uint32)
+            a4 = np.full(nlong, seed32 - _XX32_P1, dtype=np.uint32)
+            for j in range(int(ns.max())):
+                cnt = n if uniform else n - int(np.searchsorted(ns_asc, j, side="right"))
+                base = sb[:cnt] + 16 * j
+                for lane, acc in ((0, a1), (1, a2), (2, a3), (3, a4)):
+                    k = _gather_u32(data, base + 4 * lane)
+                    a = acc[:cnt] + k * _XX32_P2
+                    acc[:cnt] = _rotl32(a, 13) * _XX32_P1
+            hl = _rotl32(a1, 1) + _rotl32(a2, 7) + _rotl32(a3, 12) + _rotl32(a4, 18)
+            h[:nlong] = hl
+        h += sl.astype(np.uint32)
+        # tail: up to 3 4-byte rounds, then up to 3 single bytes
+        p = sb + ns * 16
+        ends = sb + sl
+        for _ in range(3):
+            cond = ends - p >= 4
+            if cond.all():
+                k = _gather_u32(data, p)
+                h = _rotl32(h + k * _XX32_P3, 17) * _XX32_P4
+                p = p + 4
+                continue
+            act = np.nonzero(cond)[0]
+            if len(act) == 0:
+                break
+            k = _gather_u32(data, p[act])
+            h[act] = _rotl32(h[act] + k * _XX32_P3, 17) * _XX32_P4
+            p[act] += 4
+        for _ in range(3):
+            cond = ends > p
+            if cond.all():
+                h = _rotl32(h + data[p].astype(np.uint32) * _XX32_P5, 11) * _XX32_P1
+                p = p + 1
+                continue
+            act = np.nonzero(cond)[0]
+            if len(act) == 0:
+                break
+            h[act] = _rotl32(h[act] + data[p[act]].astype(np.uint32) * _XX32_P5, 11) * _XX32_P1
+            p[act] += 1
+        h ^= h >> _U32(15)
+        h *= _XX32_P2
+        h ^= h >> _U32(13)
+        h *= _XX32_P3
+        h ^= h >> _U32(16)
+    if uniform:
+        return h
+    out = np.empty(n, dtype=np.uint32)
+    out[order] = h
+    return out
+
+
+# ---------------------------------------------------------------------------
 # vectorized xxh64
 # ---------------------------------------------------------------------------
 
@@ -447,6 +591,8 @@ def hash_column(col, algo: str = "xxh64", seed: int = 0) -> np.ndarray:
     data, starts, lengths = column_spans(col)
     if algo == "murmur3":
         return murmur3_32_vec(data, starts, lengths, seed)
+    if algo == "xxh32":
+        return xxh32_vec(data, starts, lengths, seed)
     if algo == "xxh64":
         return xxh64_vec(data, starts, lengths, seed)
     raise ValueError(f"unknown hash algo: {algo}")
@@ -472,6 +618,10 @@ def hash_pair(
     if algo == "murmur3":
         h1 = murmur3_32_vec(data, starts, lengths, seeds[0])
         h2 = murmur3_32_vec(data, starts, lengths, seeds[1])
+    elif algo == "xxh32":
+        # the reference's XXH32 pair (simple_benchmark.cpp:35-40, same seed pair)
+        h1 = xxh32_vec(data, starts, lengths, seeds[0])
+        h2 = xxh32_vec(data, starts, lengths, seeds[1])
     elif algo == "xxh64":
         h1 = xxh64_vec(data, starts, lengths, seeds[0]).astype(np.uint32)
         h2 = xxh64_vec(data, starts, lengths, seeds[1]).astype(np.uint32)

@@ -12,8 +12,10 @@ group — fatal when most groups are singletons, which is the dedup regime):
   over every shingle of the batch, ``(a·h+b) mod M61`` permutations,
   ``minimum.reduceat`` per doc) → band-salted bucket key (NARROW: two int64s per
   (doc, band) — signatures never cross the wire) → native count → hot buckets
-  broadcast → candidate collect → **exact n-gram Jaccard verify** on just the
-  candidates' texts → min-label union-find.
+  broadcast → DISTRIBUTED pair emission per bucket block → Bloom-prefiltered
+  hash joins attach candidate texts → **exact shingle-set Jaccard verify** in
+  map_batches → distributed min-label propagation. No stage funnels candidates
+  through the driver (web corpora are ~30% near-dup: candidates are O(dataset)).
 - **simhash_dedup**: 64-bit SimHash, 4×16-bit band buckets (pigeonhole: Hamming ≤3
   ⟹ some band equal), hot buckets via native count, exact Hamming verify.
 - **embedding_cosine_dedup**: random-hyperplane bucket key → hot buckets via
@@ -26,7 +28,6 @@ DEFINITELY new (no false negatives) — exact-negative dedup.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from raysketch.hashing import hash_column, xxh64_vec
@@ -35,7 +36,9 @@ _MERSENNE61 = np.uint64((1 << 61) - 1)
 
 
 def _clusters_from_edges(edges: list[tuple[int, int]]) -> pa.Table:
-    """Union-find min-label clustering of a (small, verified) edge list."""
+    """Union-find min-label clustering of a small edge list — the DRIVER-SIDE
+    ORACLE used by tests to validate the distributed ``connected_components``;
+    production pipelines use the distributed path."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -242,9 +245,17 @@ def _band_keys(sig: np.ndarray, bands: int) -> np.ndarray:
     return keys
 
 
-def _hot_bucket_members(band_rows, id_col: str, extra_cols: tuple[str, ...] = ()) -> pd.DataFrame:
-    """Native count-agg over bucket keys → broadcast hot keys → collect only the
-    rows that land in buckets with ≥2 members (the candidate set).
+def _num_partitions(default: int = 8) -> int:
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", default)) if ray.is_initialized() else default
+    return max(4, min(32, ncpu))
+
+
+def _hot_members(band_rows, id_col: str, extra_cols: tuple[str, ...] = ()):
+    """Native count-agg over bucket keys → broadcast hot keys → the rows that land
+    in buckets with ≥2 members (the candidate set), AS A DATASET — members never
+    funnel through the driver.
 
     ``band_rows`` is materialized because it feeds two consumers (the count-agg
     and the hot filter). Scale note: at 10^12 docs the materialized band rows are
@@ -260,7 +271,7 @@ def _hot_bucket_members(band_rows, id_col: str, extra_cols: tuple[str, ...] = ()
     hot = counts.filter(expr="n > 1")
     hot_keys = np.array([r["key"] for r in hot.select_columns(["key"]).take_all()], dtype=np.int64)
     if len(hot_keys) == 0:
-        return pd.DataFrame(columns=["key", id_col, *extra_cols])
+        return None
     hot_keys.sort()
     ref = ray.put(hot_keys)
 
@@ -271,22 +282,281 @@ def _hot_bucket_members(band_rows, id_col: str, extra_cols: tuple[str, ...] = ()
         idx = np.clip(idx, 0, len(hk) - 1)
         return batch.filter(pa.array(hk[idx] == keys))
 
-    members = band_rows.map_batches(keep_hot, batch_format="pyarrow", zero_copy_batch=True)
-    return members.to_pandas()
+    return band_rows.map_batches(keep_hot, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def _pairs_from_members(members: pd.DataFrame, id_col: str, max_bucket: int = 256) -> set[tuple[int, int]]:
-    pairs: set[tuple[int, int]] = set()
-    for _, grp in members.groupby("key"):
-        ids = np.unique(grp[id_col].to_numpy())
-        if len(ids) < 2:
-            continue
-        if len(ids) > max_bucket:
-            ids = ids[:max_bucket]  # degenerate bucket cap (logged upstream)
-        for i in range(len(ids) - 1):
-            for j in range(i + 1, len(ids)):
-                pairs.add((int(ids[i]), int(ids[j])))
-    return pairs
+def _emit_pairs(members, id_col: str, extra_cols: tuple[str, ...] = (), max_bucket: int = 256):
+    """Distributed candidate-pair emission: HASH_SHUFFLE the hot-bucket member
+    rows by bucket key so each output block holds whole buckets, then ONE
+    vectorized task per block emits every within-bucket (a < b) pair — buckets
+    are grouped by size so the pair indices (``np.triu_indices``) are built once
+    per distinct size and broadcast across all buckets of that size (no per-pair,
+    no per-bucket-of-common-size Python). Pairs produced by multiple bands are
+    deduped by a native groupby on (a, b) (extras ride along via Min — they are
+    functions of the id, identical across duplicates).
+
+    Oversized buckets (degenerate keys: boilerplate shingles, all-zero simhash
+    bands) are truncated to ``max_bucket`` members — O(bucket²) pair blowup is
+    capped at the source, same rule as the reference candidate cap."""
+    from ray.data.context import ShuffleStrategy
+
+    members.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    # without this, every hash aggregation on this chain defaults to 200
+    # partitions — 200 mostly-empty blocks per groupby on small/medium data
+    members.context.default_hash_shuffle_parallelism = _num_partitions()
+    parts = members.repartition(num_blocks=_num_partitions(), keys=["key"])
+    out_schema = {"a": pa.int64(), "b": pa.int64()}
+    for c in extra_cols:
+        out_schema[f"{c}_a"] = pa.int64()
+        out_schema[f"{c}_b"] = pa.int64()
+
+    def pairs_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({c: pa.array([], t) for c, t in out_schema.items()})
+        key = np.asarray(batch.column("key").combine_chunks())
+        ids = np.asarray(batch.column(id_col).combine_chunks())
+        extras = {c: np.asarray(batch.column(c).combine_chunks()) for c in extra_cols}
+        order = np.lexsort((ids, key))
+        key, ids = key[order], ids[order]
+        extras = {c: v[order] for c, v in extras.items()}
+        new_b = np.empty(len(key), dtype=bool)
+        new_b[0] = True
+        np.not_equal(key[1:], key[:-1], out=new_b[1:])
+        bounds = np.append(np.nonzero(new_b)[0], len(key))
+        sizes = np.minimum(np.diff(bounds), max_bucket)
+        cols: dict[str, list] = {c: [] for c in out_schema}
+        for s in np.unique(sizes):
+            if s < 2:
+                continue
+            starts = bounds[:-1][sizes == s]
+            iu, ju = np.triu_indices(int(s), k=1)
+            ai = (starts[:, None] + iu[None, :]).ravel()
+            bi = (starts[:, None] + ju[None, :]).ravel()
+            keep = ids[ai] < ids[bi]  # ids ascend within a bucket; drops dups
+            cols["a"].append(ids[ai][keep])
+            cols["b"].append(ids[bi][keep])
+            for c, v in extras.items():
+                cols[f"{c}_a"].append(v[ai][keep])
+                cols[f"{c}_b"].append(v[bi][keep])
+        return pa.table(
+            {
+                c: pa.array(
+                    np.concatenate(cols[c]) if cols[c] else np.empty(0, dtype=np.int64),
+                    out_schema[c],
+                )
+                for c in out_schema
+            }
+        )
+
+    raw = parts.map_batches(pairs_block, batch_format="pyarrow", batch_size=None)
+    from ray.data.aggregate import Min
+
+    aggs = [Min(f"{c}_{s}", alias_name=f"{c}_{s}") for c in extra_cols for s in ("a", "b")]
+    if not aggs:
+        from ray.data.aggregate import Count
+
+        deduped = (
+            raw.groupby(["a", "b"]).aggregate(Count(alias_name="__n")).select_columns(
+                ["a", "b"]
+            )
+        )
+    else:
+        deduped = raw.groupby(["a", "b"]).aggregate(*aggs)
+
+    # Ray's hash aggregator emits SCHEMA-LESS empty blocks for key partitions
+    # with no rows; Acero joins downstream reject them ("no match for FieldRef")
+    # and map_batches never sees them (empty blocks skip the UDF). A plain
+    # repartition coalesces them into typed blocks.
+    return deduped.repartition(num_blocks=_num_partitions())
+
+
+def _attach_pair_payload(pairs, ds, id_col: str, payload_col: str, n_pairs: int, broadcast_limit: int = 1_000_000):
+    """Bring each pair's two payloads (text / embedding) to the pair rows; the
+    payloads themselves NEVER visit the driver in either regime.
+
+    - pairs ≤ ``broadcast_limit``: collect only the pair IDS (16 B each),
+      broadcast the sorted unique array once via ``ray.put``, exact-filter ``ds``
+      to candidates with a vectorized searchsorted stage, then hash-join the
+      candidate payload rows to the pairs.
+    - larger: a PartitionedBloom over the pair ids (built with the library's own
+      distributed build) broadcast-prefilters ``ds`` (no false negatives, ≤p
+      extras — the inner join removes extras), so the joins partition only
+      candidate-sized inputs. The full corpus never enters a shuffle either way."""
+    np_ = _num_partitions()
+    narrow = ds.select_columns([id_col, payload_col])
+    if n_pairs <= broadcast_limit:
+        from raysketch.pipeline.probe import exact_semi_join
+
+        df = pairs.select_columns(["a", "b"]).to_pandas()
+        cand_ids = np.unique(np.concatenate([df["a"].to_numpy(), df["b"].to_numpy()]))
+        cand = exact_semi_join(narrow, cand_ids, id_col).materialize()
+    else:
+        from raysketch.pipeline.partitioned import build_partitioned_bloom
+        from raysketch.pipeline.probe import bloom_semi_join
+
+        def both_ids(batch: pa.Table) -> pa.Table:
+            a = np.asarray(batch.column("a"))
+            b = np.asarray(batch.column("b"))
+            return pa.table({id_col: pa.array(np.concatenate([a, b]))})
+
+        ids_ds = pairs.map_batches(both_ids, batch_format="pyarrow", zero_copy_batch=True)
+        pb, _ = build_partitioned_bloom(
+            ids_ds, id_col, capacity=max(2 * n_pairs, 64), num_shards=16
+        )
+        cand = bloom_semi_join(narrow, pb, id_col).materialize()
+    left = pairs.join(
+        cand.rename_columns({id_col: "a", payload_col: f"{payload_col}_a"}),
+        "inner",
+        np_,
+        on=("a",),
+    )
+    return left.join(
+        cand.rename_columns({id_col: "b", payload_col: f"{payload_col}_b"}),
+        "inner",
+        np_,
+        on=("b",),
+    )
+
+
+def _block_union_find(batch: pa.Table) -> pa.Table:
+    """One task's local union-find over its block of edges → min-root star edges
+    (node, lbl). Contraction preserves connectivity exactly, keeps every node,
+    and collapses bucket cliques (C(s,2) edges) to stars (s edges)."""
+    if batch.num_rows == 0:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    a = np.asarray(batch.column("a").combine_chunks())
+    b = np.asarray(batch.column("b").combine_chunks())
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in zip(a.tolist(), b.tolist()):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+    nodes = np.unique(np.concatenate([a, b]))
+    roots = np.fromiter((find(int(x)) for x in nodes), count=len(nodes), dtype=np.int64)
+    return pa.table({"a": pa.array(nodes), "b": pa.array(roots)})
+
+
+def connected_components(edges, final_task_edges: int = 5_000_000, max_iters: int = 40, n_edges: int | None = None):
+    """Distributed connected components over a verified-edge Dataset.
+
+    ``edges``: Dataset with int64 columns (a, b). Returns a Dataset
+    (node, lbl) where lbl is the component's minimum member id.
+
+    Two-level scheme (the MapReduce-CC contraction pattern, Kiveris et al. 2014
+    family): (1) one ``map_batches`` pass runs a LOCAL union-find per edge block
+    and emits min-root star edges — exact contraction, every node kept, bucket
+    cliques collapse C(s,2)→s; (2) if the contracted graph fits
+    ``final_task_edges`` (one (node,root) row per candidate node — 16 B each, so
+    the default covers 5M dup-cluster members per job in ~80 MB), ONE worker
+    task union-finds it exactly; otherwise (3) iterative min-label propagation
+    with pointer jumping (label-of-label join each round → O(log n) rounds) runs
+    until the monotone label sum reaches fixpoint.
+
+    ``n_edges`` (if the caller already counted) lets small edge sets skip the
+    contraction round and go straight to the exact single-task union-find."""
+    if n_edges is not None and n_edges <= final_task_edges:
+        star = edges
+    else:
+        star = (
+            edges.repartition(num_blocks=_num_partitions())
+            .map_batches(_block_union_find, batch_format="pyarrow", batch_size=None)
+            .materialize()
+        )
+    if (n_edges if star is edges else star.count()) <= final_task_edges:
+        final = star.repartition(num_blocks=1).map_batches(
+            lambda b: _block_union_find(b).rename_columns(["node", "lbl"]),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        return final.materialize()
+
+    # huge-dup-graph fallback: min-label propagation + pointer jumping
+    from ray.data.aggregate import Min
+
+    np_ = _num_partitions()
+
+    def sym(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch.column("a"))
+        b = np.asarray(batch.column("b"))
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b])),
+                "dst": pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    e = star.map_batches(sym, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    def self_min(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch.column("src"))
+        l = np.asarray(batch.column("lbl"))
+        return pa.table({"node": pa.array(s), "lbl": pa.array(np.minimum(s, l))})
+
+    labels = (
+        e.groupby("src")
+        .aggregate(Min("dst", alias_name="lbl"))
+        .map_batches(self_min, batch_format="pyarrow")
+        .materialize()
+    )
+    prev_sum = labels.sum("lbl")
+    for _ in range(max_iters):
+        # neighbor propagation: edges ⋈ labels → candidate label for each dst
+        j = e.join(labels.rename_columns({"node": "src"}), "inner", np_, on=("src",))
+        cand = j.map_batches(
+            lambda b: pa.table({"node": b.column("dst"), "lbl": b.column("lbl")}),
+            batch_format="pyarrow",
+        )
+        # pointer jumping: label-of-label (labels ⋈ labels on lbl=node)
+        jump = labels.join(
+            labels.rename_columns({"node": "__jn", "lbl": "__jl"}),
+            "inner",
+            np_,
+            on=("lbl",),
+            right_on=("__jn",),
+        ).map_batches(
+            lambda b: pa.table({"node": b.column("node"), "lbl": b.column("__jl")}),
+            batch_format="pyarrow",
+        )
+        labels = (
+            labels.union(cand, jump)
+            .groupby("node")
+            .aggregate(Min("lbl", alias_name="lbl"))
+            .materialize()
+        )
+        s = labels.sum("lbl")
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels
+
+
+def _collect_clusters(edges, n_edges: int | None = None) -> pa.Table:
+    """Run distributed CC over a verified-edge Dataset and collect the (small —
+    one row per clustered doc) result as a sorted (doc_id, cluster_id) table."""
+    labels = connected_components(edges, n_edges=n_edges)
+    df = labels.to_pandas().sort_values("node").reset_index(drop=True)
+    return pa.table(
+        {
+            "doc_id": pa.array(df["node"].to_numpy(), pa.int64()),
+            "cluster_id": pa.array(df["lbl"].to_numpy(), pa.int64()),
+        }
+    )
+
+
+_EMPTY_CLUSTERS = {
+    "doc_id": pa.array([], pa.int64()),
+    "cluster_id": pa.array([], pa.int64()),
+}
 
 
 def minhash_lsh_dedup(
@@ -302,9 +572,14 @@ def minhash_lsh_dedup(
     """Near-duplicate clustering: returns ``(doc_id, cluster_id)`` (cluster_id =
     min member id) for every doc in a verified near-dup cluster.
 
-    Verification is EXACT n-gram Jaccard ≥ threshold on the candidates' texts
-    (fetched for candidates only via broadcast semi-join), so LSH affects recall
-    but never precision."""
+    Every stage after the signature map is distributed — nothing funnels through
+    the driver (web corpora are ~30% near-dup, so candidates are O(dataset)):
+    band rows → native hot-bucket count → HASH_SHUFFLE pair emission per bucket
+    block → native (a,b) dedup → candidate texts attached via Bloom-prefiltered
+    hash joins → vectorized shingle-set Jaccard verify in ``map_batches`` →
+    distributed min-label propagation for clusters. Verification is EXACT
+    shingle-set Jaccard ≥ threshold on the candidates' texts, so LSH affects
+    recall but never precision."""
 
     def bandrows(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).combine_chunks()
@@ -321,21 +596,38 @@ def minhash_lsh_dedup(
     band_rows = ds.select_columns([id_col, text_col]).map_batches(
         bandrows, batch_format="pyarrow", zero_copy_batch=True
     )
-    members = _hot_bucket_members(band_rows, id_col)
-    pairs = _pairs_from_members(members, id_col)
-    if not pairs:
-        return pa.table({"doc_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())})
+    members = _hot_members(band_rows, id_col)
+    if members is None:
+        return pa.table(_EMPTY_CLUSTERS)
+    pairs = _emit_pairs(members, id_col).materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return pa.table(_EMPTY_CLUSTERS)
+    with_texts = _attach_pair_payload(pairs, ds, id_col, text_col, n_pairs)
 
-    # fetch candidate texts only (broadcast semi-join on ids), verify exactly
-    from raysketch.pipeline.probe import exact_semi_join
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        ha, oa = _word_shingle_hashes(batch.column(f"{text_col}_a").combine_chunks(), shingle_k)
+        hb, ob = _word_shingle_hashes(batch.column(f"{text_col}_b").combine_chunks(), shingle_k)
+        n = batch.num_rows
+        jac = np.empty(n, dtype=np.float64)
+        for i in range(n):  # per-PAIR numpy set ops (vector work inside each)
+            sa = np.unique(ha[oa[i] : oa[i + 1]])
+            sb = np.unique(hb[ob[i] : ob[i + 1]])
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            jac[i] = 1.0 if union == 0 else inter / union
+        keep = pa.array(jac >= threshold)
+        return pa.table(
+            {"a": batch.column("a").filter(keep), "b": batch.column("b").filter(keep)}
+        )
 
-    cand_ids = sorted({x for p in pairs for x in p})
-    cand = exact_semi_join(ds.select_columns([id_col, text_col]), cand_ids, id_col).take_all()
-    text_of = {r[id_col]: r[text_col] for r in cand}
-    verified = [
-        (a, b) for a, b in pairs if ngram_jaccard(text_of[a], text_of[b], shingle_k) >= threshold
-    ]
-    return _clusters_from_edges(verified)
+    edges = with_texts.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return pa.table(_EMPTY_CLUSTERS)
+    return _collect_clusters(edges, n_edges)
 
 
 # ---------------------------------------------------------------------------
@@ -381,7 +673,10 @@ def simhash_dedup(
     seed: int = 0,
 ) -> pa.Table:
     """Near-dup clusters by SimHash: 4×16-bit band buckets (pigeonhole-complete for
-    Hamming ≤ 3), hot buckets via native count, exact Hamming verify."""
+    Hamming ≤ 3), hot buckets via native count, distributed pair emission, exact
+    Hamming verify vectorized in ``map_batches`` (the fingerprints ride the band
+    rows, so no text ever re-enters the pipeline), distributed min-label
+    clustering — no driver funnel at any stage."""
 
     def bandrows(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).combine_chunks()
@@ -404,17 +699,26 @@ def simhash_dedup(
     band_rows = ds.select_columns([id_col, text_col]).map_batches(
         bandrows, batch_format="pyarrow", zero_copy_batch=True
     )
-    members = _hot_bucket_members(band_rows, id_col, extra_cols=("fp",))
-    edges: set[tuple[int, int]] = set()
-    for _, grp in members.groupby("key"):
-        grp = grp.drop_duplicates(subset=id_col).sort_values(id_col)
-        ids = grp[id_col].to_numpy()
-        fp = grp["fp"].to_numpy().astype(np.uint64)
-        for i in range(len(ids) - 1):
-            hd = hamming64(fp[i + 1 :], fp[i])
-            for hj in np.nonzero(hd <= max_hamming)[0]:
-                edges.add((int(ids[i]), int(ids[i + 1 + hj])))
-    return _clusters_from_edges(sorted(edges))
+    members = _hot_members(band_rows, id_col, extra_cols=("fp",))
+    if members is None:
+        return pa.table(_EMPTY_CLUSTERS)
+    pairs = _emit_pairs(members, id_col, extra_cols=("fp",))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        fpa = np.asarray(batch.column("fp_a").combine_chunks()).view(np.uint64)
+        fpb = np.asarray(batch.column("fp_b").combine_chunks()).view(np.uint64)
+        keep = pa.array(hamming64(fpa, fpb) <= max_hamming)
+        return pa.table(
+            {"a": batch.column("a").filter(keep), "b": batch.column("b").filter(keep)}
+        )
+
+    edges = pairs.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return pa.table(_EMPTY_CLUSTERS)
+    return _collect_clusters(edges, n_edges)
 
 
 # ---------------------------------------------------------------------------
@@ -460,8 +764,10 @@ def embedding_cosine_dedup(
     seed: int = 5,
 ) -> pa.Table:
     """Near-dup clusters among embeddings: random-hyperplane LSH bucket key, hot
-    buckets via native count, exact cosine ≥ threshold verify. Output column names
-    are (doc_id, cluster_id) for uniformity."""
+    buckets via native count, distributed pair emission, candidate vectors
+    attached via Bloom-prefiltered hash joins, exact cosine ≥ threshold verify
+    vectorized in ``map_batches``, distributed min-label clustering. Output
+    column names are (doc_id, cluster_id) for uniformity."""
 
     def bucket(batch: pa.Table) -> pa.Table:
         V = embedding_matrix(batch.column(emb_col)).astype(np.float64)
@@ -476,20 +782,55 @@ def embedding_cosine_dedup(
     band_rows = ds.select_columns([id_col, emb_col]).map_batches(
         bucket, batch_format="pyarrow", zero_copy_batch=True
     )
-    members = _hot_bucket_members(band_rows, id_col)
-    pairs = _pairs_from_members(members, id_col)
-    if not pairs:
-        return pa.table({"doc_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())})
+    members = _hot_members(band_rows, id_col)
+    if members is None:
+        return pa.table(_EMPTY_CLUSTERS)
+    pairs = _emit_pairs(members, id_col).materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return pa.table(_EMPTY_CLUSTERS)
 
-    from raysketch.pipeline.probe import exact_semi_join
+    # Ray's hash join rejects list<float> non-key fields — carry the vectors as
+    # fixed-width float64 binary blobs through the join, decode in the verify task
+    def pack_vec(batch: pa.Table) -> pa.Table:
+        V = embedding_matrix(batch.column(emb_col)).astype(np.float64)
+        n, d = V.shape
+        raw = np.ascontiguousarray(V).view(np.uint8)
+        offsets = (np.arange(n + 1, dtype=np.int32)) * (d * 8)
+        arr = pa.Array.from_buffers(
+            pa.binary(), n, [None, pa.py_buffer(offsets), pa.py_buffer(raw.ravel())]
+        )
+        return pa.table({id_col: batch.column(id_col), "__vec": arr})
 
-    cand_ids = sorted({x for p in pairs for x in p})
-    cand = exact_semi_join(ds.select_columns([id_col, emb_col]), cand_ids, id_col).take_all()
-    vec_of = {r[id_col]: np.asarray(r[emb_col], dtype=np.float64) for r in cand}
-    verified = []
-    for a, b in pairs:
-        va, vb = vec_of[a], vec_of[b]
-        cos = float(va @ vb / max(np.linalg.norm(va) * np.linalg.norm(vb), 1e-12))
-        if cos >= threshold:
-            verified.append((a, b))
-    return _clusters_from_edges(verified)
+    packed = ds.select_columns([id_col, emb_col]).map_batches(
+        pack_vec, batch_format="pyarrow", zero_copy_batch=True
+    )
+    with_vecs = _attach_pair_payload(pairs, packed, id_col, "__vec", n_pairs)
+
+    def _unpack(col) -> np.ndarray:
+        from raysketch.hashing import column_spans
+
+        data, starts, lengths = column_spans(col)
+        d8 = int(lengths[0])
+        idx = starts[:, None] + np.arange(d8, dtype=np.int64)[None, :]
+        return np.ascontiguousarray(data[idx]).view(np.float64)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        Va = _unpack(batch.column("__vec_a").combine_chunks())
+        Vb = _unpack(batch.column("__vec_b").combine_chunks())
+        num = np.einsum("ij,ij->i", Va, Vb)
+        den = np.maximum(
+            np.linalg.norm(Va, axis=1) * np.linalg.norm(Vb, axis=1), 1e-12
+        )
+        keep = pa.array(num / den >= threshold)
+        return pa.table(
+            {"a": batch.column("a").filter(keep), "b": batch.column("b").filter(keep)}
+        )
+
+    edges = with_vecs.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return pa.table(_EMPTY_CLUSTERS)
+    return _collect_clusters(edges, n_edges)

@@ -120,6 +120,110 @@ def confusion_matrix(
     }
 
 
+def probe_partitioned_shuffle(
+    ds,
+    pb,
+    column: str,
+    out_column: str = "member",
+    keep: tuple[str, ...] = (),
+    num_blocks: int | None = None,
+):
+    """Shard-routed probe — the regime where the merged filter is too big to
+    broadcast (10^12-key capacity ⇒ TB-scale bits): probe rows are hash-shuffled
+    to the worker that owns their sub-filter, exactly the reference's
+    contains-routing (gloom.h:216-230, parallel_bloom.h:110-118).
+
+    Each shard's packed sub-filter is ``ray.put`` ONCE as its own object; a probe
+    block (holding whole shards after the HASH_SHUFFLE) fetches only the shard
+    blobs it needs — per-task memory is O(m/num_shards), never O(m). Bitwise
+    semantics are identical to the broadcast probe (same (h1,h2) pair, same
+    per-shard geometry); only the data movement differs. Returns the routed rows
+    (order differs from the input) with ``keep`` columns + ``out_column``."""
+    from ray.data.context import ShuffleStrategy
+
+    from raysketch.pipeline.partitioned import add_hash_columns
+    from raysketch.sketches.bloom import BloomSketch
+
+    shard_refs = [
+        ray.put(pb.shard_sketch(s).to_bytes()) for s in range(pb.num_shards)
+    ]
+    num_shards = pb.num_shards
+    hash_algo, seeds = pb.hash_algo, pb.seeds
+
+    hashed = ds.map_batches(
+        lambda b: add_hash_columns(b, column, num_shards, hash_algo, seeds, keep=keep),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    hashed.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    if num_blocks is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        num_blocks = max(8, min(num_shards, 64, ncpu * 2))
+    parts = hashed.repartition(num_blocks=num_blocks, keys=["shard"])
+
+    def probe_block(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {c: batch.column(c) for c in keep if c in batch.column_names}
+        if n == 0:
+            cols[out_column] = pa.array([], pa.bool_())
+            return pa.table(cols)
+        sid = np.asarray(batch.column("shard").combine_chunks())
+        h1 = batch.column("h1").combine_chunks().to_numpy()
+        h2 = batch.column("h2").combine_chunks().to_numpy()
+        order = np.argsort(sid, kind="stable")
+        uniq, starts = np.unique(sid[order], return_index=True)
+        bounds = np.append(starts, n)
+        hits = np.empty(n, dtype=bool)
+        # fetch ONLY the shard blobs present in this block (whole shards, owner-
+        # compute), deserialize once each, probe each segment vectorized
+        blobs = ray.get([shard_refs[int(s)] for s in uniq])
+        for j, blob in enumerate(blobs):
+            seg = order[bounds[j] : bounds[j + 1]]
+            sk = BloomSketch.from_bytes(blob)
+            hits[seg] = sk.probe_hashes(h1[seg], h2[seg])
+        cols[out_column] = pa.array(hits)
+        return pa.table(cols)
+
+    return parts.map_batches(probe_block, batch_format="pyarrow", batch_size=None)
+
+
+def confusion_matrix_shuffle(
+    ds,
+    pb,
+    column: str,
+    label_column: str = "is_positive",
+) -> dict:
+    """``confusion_matrix`` over the shard-routed probe path — identical counts
+    to the broadcast path (tested bitwise-equal), different data movement."""
+    probed = probe_partitioned_shuffle(
+        ds, pb, column, out_column="__member", keep=(label_column,)
+    )
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        pred = np.asarray(batch.column("__member").combine_chunks())
+        label = np.asarray(batch.column(label_column).combine_chunks())
+        tp = int(np.sum(pred & label))
+        fp = int(np.sum(pred & ~label))
+        fn = int(np.sum(~pred & label))
+        tn = int(np.sum(~pred & ~label))
+        return pa.table({"tp": [tp], "fp": [fp], "fn": [fn], "tn": [tn]})
+
+    counts = probed.map_batches(partial_counts, batch_format="pyarrow")
+    agg = counts.sum(["tp", "fp", "fn", "tn"])
+    tp, fp, fn, tn = (agg[f"sum({c})"] for c in ("tp", "fp", "fn", "tn"))
+    negatives = fp + tn
+    positives = tp + fn
+    return {
+        "tp": tp,
+        "fp": fp,
+        "fn": fn,
+        "tn": tn,
+        "fp_rate": fp / negatives if negatives else 0.0,
+        "fn_rate": fn / positives if positives else 0.0,
+        "test_count": tp + fp + fn + tn,
+    }
+
+
 class BroadcastSetSemiJoin:
     """Exact broadcast semi/anti-join against a small key set (the reference's
     ``unordered_set_baseline``, benchmark_bloom.cpp:19-30, as a Ray stage). The set

@@ -61,6 +61,7 @@ class BloomSketch:
         algo: str = "classic",
         hash_algo: str = "xxh64",
         seeds: tuple[int, int] = CLASSIC_SEEDS,
+        block_bits: int = 64,
     ):
         self.capacity = int(capacity)
         self.fp_rate = float(fp_rate)
@@ -71,7 +72,17 @@ class BloomSketch:
         if algo == "classic":
             self._bits_u8 = np.zeros(self.m, dtype=np.uint8)  # one byte per bit
             self._blocks = None
+            self.block_bits = 0
         elif algo == "blocked":
+            # block_bits=64: the register-blocked variant (gloom.h:285-301);
+            # block_bits=256: the cache-line BlockedBloomFilter layout
+            # (bloom_filters.h:94-159) — h1 picks a 4-word block, every probe
+            # stays inside those 32 bytes
+            if block_bits not in (64, 256):
+                raise ValueError("block_bits must be 64 or 256")
+            self.block_bits = block_bits
+            self.m = max(self.m, block_bits)
+            self.m = ((self.m + block_bits - 1) // block_bits) * block_bits
             self._bits_u8 = None
             self._blocks = np.zeros(self.m // 64, dtype=np.uint64)
         else:
@@ -96,9 +107,20 @@ class BloomSketch:
                     pos = g.astype(np.int64)
                     pos %= self.m
                     self._bits_u8[pos] = 1
-        else:
+        elif self.block_bits == 64:
             idx, mask = self._block_masks(h1, h2)
             np.bitwise_or.at(self._blocks, idx, mask)
+        else:
+            # 256-bit block: probe i sets bit (h1 + i·h2) % 256 inside block h1
+            nblocks = self.m // self.block_bits
+            base = (h1.astype(np.int64) % nblocks) * (self.block_bits // 64)
+            with np.errstate(over="ignore"):
+                for i in range(1, max(2, self.k)):
+                    bit = (h1 + _U32(i) * h2) & _U32(self.block_bits - 1)
+                    word = base + (bit >> _U32(6)).astype(np.int64)
+                    np.bitwise_or.at(
+                        self._blocks, word, _U64(1) << (bit & _U32(63)).astype(np.uint64)
+                    )
         self.count += n
 
     def probe_hashes(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
@@ -116,8 +138,18 @@ class BloomSketch:
                     pos %= self.m
                     hits &= self._bits_u8[pos].astype(bool)
             return hits
-        idx, mask = self._block_masks(h1, h2)
-        return (self._blocks[idx] & mask) == mask
+        if self.block_bits == 64:
+            idx, mask = self._block_masks(h1, h2)
+            return (self._blocks[idx] & mask) == mask
+        nblocks = self.m // self.block_bits
+        base = (h1.astype(np.int64) % nblocks) * (self.block_bits // 64)
+        hits = np.ones(n, dtype=bool)
+        with np.errstate(over="ignore"):
+            for i in range(1, max(2, self.k)):
+                bit = (h1 + _U32(i) * h2) & _U32(self.block_bits - 1)
+                word = base + (bit >> _U32(6)).astype(np.int64)
+                hits &= (self._blocks[word] & (_U64(1) << (bit & _U32(63)).astype(np.uint64))) != 0
+        return hits
 
     def _block_masks(self, h1: np.ndarray, h2: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         nblocks = len(self._blocks)
@@ -145,12 +177,13 @@ class BloomSketch:
     # -- merge / serialize ---------------------------------------------------------
 
     def _check_geometry(self, other: "BloomSketch") -> None:
-        if (self.m, self.k, self.algo, self.hash_algo, self.seeds) != (
+        if (self.m, self.k, self.algo, self.hash_algo, self.seeds, getattr(self, "block_bits", 0)) != (
             other.m,
             other.k,
             other.algo,
             other.hash_algo,
             other.seeds,
+            getattr(other, "block_bits", 0),
         ):
             raise ValueError("cannot merge Bloom filters with different geometry")
 
@@ -187,6 +220,7 @@ class BloomSketch:
             "m": self.m,
             "k": self.k,
             "count": self.count,
+            "block_bits": self.block_bits,
         }
         if self.algo == "classic":
             packed = np.packbits(self._bits_u8, bitorder="little")
@@ -207,6 +241,7 @@ class BloomSketch:
         sk.m = meta["m"]
         sk.k = meta["k"]
         sk.count = meta["count"]
+        sk.block_bits = meta.get("block_bits", 64 if meta["algo"] == "blocked" else 0)
         raw = np.frombuffer(arrays[0], dtype=np.uint8)
         if sk.algo == "classic":
             sk._bits_u8 = np.unpackbits(raw, bitorder="little")[: sk.m].copy()

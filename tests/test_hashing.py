@@ -161,3 +161,38 @@ def test_numeric_nulls_hash_consistently():
     t_null = hash_column(pa.array([1_000_000, None], pa.timestamp("us")))
     t_clean = hash_column(pa.array([1_000_000], pa.timestamp("us")))
     assert t_null[0] == t_clean[0]
+
+
+def test_xxh32_golden_vectors():
+    """Published XXH32 vectors (xxHash spec) + scalar↔vectorized agreement.
+    The reference benches the XXH32 pair alongside XXH64
+    (simple_benchmark.cpp:35-40, seeds 0 / 0x87654321)."""
+    from raysketch.hashing import xxh32_scalar
+
+    assert xxh32_scalar(b"") == 0x02CC5D05
+    assert xxh32_scalar(b"a") == 0x550D7456
+    assert xxh32_scalar(b"abc") == 0x32D153FF
+    assert xxh32_scalar(b"Nobody inspects the spammish repetition") == 0xE2293B2F
+
+
+@given(
+    st.lists(st.text(min_size=0, max_size=70), min_size=1, max_size=40),
+    st.sampled_from([0, 1, 0x87654321]),
+)
+@settings(max_examples=60, deadline=None)
+def test_xxh32_vec_matches_scalar(strs, seed):
+    from raysketch.hashing import xxh32_scalar
+
+    arr = pa.array(strs, pa.string())
+    h = hash_column(arr, algo="xxh32", seed=seed)
+    for i, s in enumerate(strs):
+        assert int(h[i]) == xxh32_scalar(s.encode(), seed)
+
+
+def test_xxh32_pair_mode():
+    arr = pa.array(["alpha", "beta"])
+    from raysketch.hashing import xxh32_scalar
+
+    h1, h2 = hash_pair(arr, algo="xxh32", seeds=CLASSIC_SEEDS)
+    assert int(h1[0]) == xxh32_scalar(b"alpha", 0)
+    assert int(h2[0]) == xxh32_scalar(b"alpha", 0x87654321)

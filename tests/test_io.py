@@ -33,3 +33,47 @@ def test_read_whitelist(tmp_path, ray_session):
     # seeded shuffle → deterministic
     ins2, _ = read_whitelist(str(p), seed=42, insert_n=60, query_n=40)
     assert [r["text"] for r in ins2.take_all()] == ins_rows
+
+
+def test_viz_bench_summary(tmp_path):
+    """tools/viz_bench.py summary path over a generated TSV (SURVEY.md §2 #36):
+    derived throughput columns + per-filter summary frame. Plots are exercised
+    iff matplotlib exists (not in this container)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import importlib
+
+    viz = importlib.import_module("viz_bench")
+    from reference_bench import TSV_COLUMNS, write_tsv_row
+
+    tsv = str(tmp_path / "r.tsv")
+    for i, (f, ncpu) in enumerate([("a", 2), ("a", 8), ("b", 2), ("b", 8)]):
+        write_tsv_row(
+            tsv,
+            {
+                "filter": f,
+                "threads": ncpu,
+                "insert_count": 1000,
+                "test_count": 100,
+                "expected_inserted": 1000,
+                "insert_ms": 10.0 + i,
+                "contains_ms": 5.0 + i,
+                "tp": 50,
+                "fp": 1,
+                "fn": 0,
+                "fp_rate": 0.02,
+                "fn_rate": 0.0,
+                "total_bits": 9600,
+                "bits_per_item": 9.6,
+            },
+        )
+    df = viz.load_data(tsv)
+    assert len(df) == 4
+    assert "insert_throughput_m" in df and "query_throughput_m" in df
+    assert abs(df["insert_throughput_m"].iloc[0] - 0.1) < 1e-9  # 1000/10ms = 0.1M/s
+    summary = viz.summarize(df)
+    assert set(summary.index) == {"a", "b"}
+    assert ("fp_rate", "mean") in summary.columns
+    written = viz.plot(df, str(tmp_path / "plots"))
+    assert written == [] or len(written) == 4  # [] without matplotlib

@@ -197,3 +197,22 @@ def test_cms_distributed_bitwise(corpus_dir, ray_session):
     oracle.update_column(langs)
     assert np.array_equal(cms.table, oracle.table)
     assert cms.total == N_ROWS
+
+
+def test_shuffle_probe_bitwise_equal_broadcast(corpus_dir, queries_path, ray_session):
+    """The shard-routed probe (too-big-to-broadcast regime, gloom.h:216-230
+    contains-routing) must produce EXACTLY the broadcast probe's confusion
+    counts — same (h1,h2), same per-shard bits, different data movement."""
+    import ray.data as rd
+
+    from raysketch.pipeline.probe import confusion_matrix_shuffle
+
+    ds = _read(corpus_dir, columns=["url"])
+    pb, _ = build_partitioned_bloom(ds, "url", capacity=N_ROWS, num_shards=16)
+    qds = rd.read_parquet(queries_path)
+    cm_b = confusion_matrix(qds, pb, "url")
+    cm_s = confusion_matrix_shuffle(qds, pb, "url")
+    assert {k: cm_b[k] for k in ("tp", "fp", "fn", "tn")} == {
+        k: cm_s[k] for k in ("tp", "fp", "fn", "tn")
+    }
+    assert cm_s["fn"] == 0

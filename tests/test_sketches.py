@@ -378,3 +378,32 @@ def test_theta_roundtrip():
     t.update_column(_keys(10000))
     back = sketch_from_bytes(t.to_bytes())
     assert back.estimate() == t.estimate()
+
+
+def test_bloom_blocked256_invariants():
+    """256-bit cache-line blocked layout (bloom_filters.h:94-159): no false
+    negatives, FPR well under the 64-bit blocked variant at the same geometry,
+    merge/roundtrip identity preserved."""
+    import pyarrow as pa
+
+    keys = pa.array([f"key{i}" for i in range(20000)])
+    neg = pa.array([f"neg{i}" for i in range(40000)])
+    sk = BloomSketch(20000, 0.01, algo="blocked", block_bits=256)
+    sk.update_column(keys)
+    assert sk.probe_column(keys).all()  # zero false negatives
+    fpr256 = sk.probe_column(neg).mean()
+    sk64 = BloomSketch(20000, 0.01, algo="blocked", block_bits=64)
+    sk64.update_column(keys)
+    assert fpr256 < sk64.probe_column(neg).mean()
+    assert fpr256 < 0.04
+    # split-build OR-merge equals single build bitwise
+    a = BloomSketch(20000, 0.01, algo="blocked", block_bits=256)
+    b = BloomSketch(20000, 0.01, algo="blocked", block_bits=256)
+    a.update_column(keys.slice(0, 10000))
+    b.update_column(keys.slice(10000))
+    assert a.merge(b).to_bytes() == sk.to_bytes()
+    rt = BloomSketch.from_bytes(sk.to_bytes())
+    assert rt.to_bytes() == sk.to_bytes()
+    # geometry guard: 64/256 variants must not merge
+    with pytest.raises(ValueError):
+        sk64.merge(sk)

@@ -77,8 +77,17 @@ def run_cell(filter_name: str, n: int, num_cpus: int, keys_dir: str, queries_pat
         )
     elif filter_name == "bloom_classic":
         sk = build_sketch(ds, "key", lambda: BloomSketch(n, p, algo="classic"))
+    elif filter_name == "bloom_classic_xxh32":
+        # the reference's XXH32 hash pair (simple_benchmark.cpp:35-40, seeds 0 /
+        # 0x87654321) on the classic geometry
+        sk = build_sketch(ds, "key", lambda: BloomSketch(n, p, algo="classic", hash_algo="xxh32"))
+    elif filter_name == "bloom_classic_murmur3":
+        sk = build_sketch(ds, "key", lambda: BloomSketch(n, p, algo="classic", hash_algo="murmur3"))
     elif filter_name == "bloom_blocked":
         sk = build_sketch(ds, "key", lambda: BloomSketch(n, p, algo="blocked"))
+    elif filter_name == "bloom_blocked256":
+        # 256-bit cache-line blocked layout (bloom_filters.h:94-159)
+        sk = build_sketch(ds, "key", lambda: BloomSketch(n, p, algo="blocked", block_bits=256))
     else:
         raise ValueError(filter_name)
     insert_ms = (time.perf_counter() - t0) * 1000
@@ -118,7 +127,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=2_500_000)  # the reference's n, line 855
     ap.add_argument("--cpus", type=str, default="8,32")
-    ap.add_argument("--filters", type=str, default="partitioned_bloom,bloom_classic,bloom_blocked")
+    ap.add_argument(
+        "--filters",
+        type=str,
+        default="partitioned_bloom,bloom_classic,bloom_blocked,bloom_blocked256,bloom_classic_xxh32",
+    )
     ap.add_argument("--out", type=str, default="/tmp/raysketch_bench/benchmark_results.tsv")
     ap.add_argument("--workdir", type=str, default="/tmp/raysketch_bench")
     args = ap.parse_args()
