@@ -164,7 +164,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     with timed("ann_topk"):
         emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
         q = np.stack([np.asarray(r["embedding"], dtype=np.float32) for r in emb.take(8)])
-        ann_cosine_topk(emb, q, k=10, concurrency=(1, num_cpus))
+        ann_cosine_topk(emb, q, k=10, concurrency=(1, num_cpus), dtype=np.float32)
     with timed("window_events"):
         tumbling_window_agg(rd.read_parquet(f"{sf_dir}/events.parquet"), window_s=86400).count()
 

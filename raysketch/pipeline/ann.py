@@ -89,14 +89,16 @@ def ann_cosine_topk(
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     concurrency: int | tuple = (1, 8),
+    dtype=np.float64,
 ) -> pa.Table:
     """Exact cosine top-k per query via distributed partial top-k + final merge.
     Returns ``(query_id, vec_id, score)`` sorted by (query_id, -score, vec_id).
-    float64 math end-to-end — ties order identically to a SQL double oracle."""
-    qref = ray.put(np.asarray(queries, dtype=np.float64))
+    Default float64 math end-to-end — ties order identically to a SQL double
+    oracle; pass ``dtype=np.float32`` for the half-bandwidth throughput path."""
+    qref = ray.put(np.asarray(queries, dtype=dtype))
     partials = ds.select_columns([id_col, emb_col]).map_batches(
         _BatchTopK,
-        fn_constructor_kwargs={"queries_ref": qref, "k": k, "emb_col": emb_col, "id_col": id_col},
+        fn_constructor_kwargs={"queries_ref": qref, "k": k, "emb_col": emb_col, "id_col": id_col, "dtype": dtype},
         batch_format="pyarrow",
         concurrency=concurrency,
         zero_copy_batch=True,

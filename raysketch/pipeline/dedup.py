@@ -252,10 +252,24 @@ def _num_partitions(default: int = 8) -> int:
     return max(4, min(32, ncpu))
 
 
-def _hot_members(band_rows, id_col: str, extra_cols: tuple[str, ...] = ()):
-    """Native count-agg over bucket keys → broadcast hot keys → the rows that land
-    in buckets with ≥2 members (the candidate set), AS A DATASET — members never
-    funnel through the driver.
+def _partitions_for(rows: int, per_partition: int = 1_000_000) -> int:
+    """Exchange width sized by DATA VOLUME, capped by cluster width. Every hash
+    exchange spawns ~num_partitions aggregator actors — sizing by CPU count alone
+    makes tiny exchanges pay tens of seconds of actor spin-up for rows that fit
+    one partition."""
+    return max(2, min(_num_partitions(), rows // per_partition + 1))
+
+
+def _hot_members(band_rows, id_col: str, extra_cols: tuple[str, ...] = (), broadcast_limit: int = 5_000_000):
+    """Native count-agg over bucket keys → the rows that land in buckets with ≥2
+    members (the candidate set), AS A DATASET — members never funnel through the
+    driver.
+
+    Hot-key recovery switches on cardinality: ≤ ``broadcast_limit`` hot buckets
+    (≤40 MB of int64 keys) are collected once, sorted, ``ray.put`` and applied
+    as a vectorized searchsorted filter; beyond that (the web-corpus regime —
+    ~30% near-dup ⇒ hot buckets are O(dataset)) the hot keys stay distributed
+    and the filter is an inner hash join on the narrow (key) column.
 
     ``band_rows`` is materialized because it feeds two consumers (the count-agg
     and the hot filter). Scale note: at 10^12 docs the materialized band rows are
@@ -267,11 +281,15 @@ def _hot_members(band_rows, id_col: str, extra_cols: tuple[str, ...] = ()):
     import ray
 
     band_rows = band_rows.materialize()
+    n_band_rows = band_rows.count()
     counts = band_rows.groupby("key").aggregate(Count(alias_name="n"))
-    hot = counts.filter(expr="n > 1")
-    hot_keys = np.array([r["key"] for r in hot.select_columns(["key"]).take_all()], dtype=np.int64)
-    if len(hot_keys) == 0:
-        return None
+    hot = counts.filter(expr="n > 1").select_columns(["key"]).materialize()
+    n_hot = hot.count()
+    if n_hot == 0:
+        return None, n_band_rows
+    if n_hot > broadcast_limit:
+        return band_rows.join(hot, "inner", _partitions_for(n_band_rows), on=("key",)), n_band_rows
+    hot_keys = np.array([r["key"] for r in hot.take_all()], dtype=np.int64)
     hot_keys.sort()
     ref = ray.put(hot_keys)
 
@@ -282,10 +300,10 @@ def _hot_members(band_rows, id_col: str, extra_cols: tuple[str, ...] = ()):
         idx = np.clip(idx, 0, len(hk) - 1)
         return batch.filter(pa.array(hk[idx] == keys))
 
-    return band_rows.map_batches(keep_hot, batch_format="pyarrow", zero_copy_batch=True)
+    return band_rows.map_batches(keep_hot, batch_format="pyarrow", zero_copy_batch=True), n_band_rows
 
 
-def _emit_pairs(members, id_col: str, extra_cols: tuple[str, ...] = (), max_bucket: int = 256):
+def _emit_pairs(members, id_col: str, extra_cols: tuple[str, ...] = (), max_bucket: int = 256, num_partitions: int | None = None):
     """Distributed candidate-pair emission: HASH_SHUFFLE the hot-bucket member
     rows by bucket key so each output block holds whole buckets, then ONE
     vectorized task per block emits every within-bucket (a < b) pair — buckets
@@ -300,11 +318,13 @@ def _emit_pairs(members, id_col: str, extra_cols: tuple[str, ...] = (), max_buck
     capped at the source, same rule as the reference candidate cap."""
     from ray.data.context import ShuffleStrategy
 
+    if num_partitions is None:
+        num_partitions = _num_partitions()
     members.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     # without this, every hash aggregation on this chain defaults to 200
     # partitions — 200 mostly-empty blocks per groupby on small/medium data
-    members.context.default_hash_shuffle_parallelism = _num_partitions()
-    parts = members.repartition(num_blocks=_num_partitions(), keys=["key"])
+    members.context.default_hash_shuffle_parallelism = num_partitions
+    parts = members.repartition(num_blocks=num_partitions, keys=["key"])
     out_schema = {"a": pa.int64(), "b": pa.int64()}
     for c in extra_cols:
         out_schema[f"{c}_a"] = pa.int64()
@@ -367,7 +387,7 @@ def _emit_pairs(members, id_col: str, extra_cols: tuple[str, ...] = (), max_buck
     # with no rows; Acero joins downstream reject them ("no match for FieldRef")
     # and map_batches never sees them (empty blocks skip the UDF). A plain
     # repartition coalesces them into typed blocks.
-    return deduped.repartition(num_blocks=_num_partitions())
+    return deduped.repartition(num_blocks=num_partitions)
 
 
 def _attach_pair_payload(pairs, ds, id_col: str, payload_col: str, n_pairs: int, broadcast_limit: int = 1_000_000):
@@ -382,14 +402,17 @@ def _attach_pair_payload(pairs, ds, id_col: str, payload_col: str, n_pairs: int,
       distributed build) broadcast-prefilters ``ds`` (no false negatives, ≤p
       extras — the inner join removes extras), so the joins partition only
       candidate-sized inputs. The full corpus never enters a shuffle either way."""
-    np_ = _num_partitions()
+    np_ = _partitions_for(n_pairs, per_partition=500_000)
     narrow = ds.select_columns([id_col, payload_col])
     if n_pairs <= broadcast_limit:
         from raysketch.pipeline.probe import exact_semi_join
 
         df = pairs.select_columns(["a", "b"]).to_pandas()
         cand_ids = np.unique(np.concatenate([df["a"].to_numpy(), df["b"].to_numpy()]))
-        cand = exact_semi_join(narrow, cand_ids, id_col).materialize()
+        # lazy: the candidate filter streams into both joins inside one plan
+        # execution (recomputed once per side — two cheap map stages), instead
+        # of paying a separate materialize round-trip
+        cand = exact_semi_join(narrow, cand_ids, id_col)
     else:
         from raysketch.pipeline.partitioned import build_partitioned_bloom
         from raysketch.pipeline.probe import bloom_semi_join
@@ -403,7 +426,7 @@ def _attach_pair_payload(pairs, ds, id_col: str, payload_col: str, n_pairs: int,
         pb, _ = build_partitioned_bloom(
             ids_ds, id_col, capacity=max(2 * n_pairs, 64), num_shards=16
         )
-        cand = bloom_semi_join(narrow, pb, id_col).materialize()
+        cand = bloom_semi_join(narrow, pb, id_col).materialize()  # big regime: avoid re-reading the corpus twice
     left = pairs.join(
         cand.rename_columns({id_col: "a", payload_col: f"{payload_col}_a"}),
         "inner",
@@ -468,7 +491,9 @@ def connected_components(edges, final_task_edges: int = 5_000_000, max_iters: in
         star = edges
     else:
         star = (
-            edges.repartition(num_blocks=_num_partitions())
+            edges.repartition(
+                num_blocks=_partitions_for(n_edges) if n_edges else _num_partitions()
+            )
             .map_batches(_block_union_find, batch_format="pyarrow", batch_size=None)
             .materialize()
         )
@@ -540,10 +565,14 @@ def connected_components(edges, final_task_edges: int = 5_000_000, max_iters: in
     return labels
 
 
-def _collect_clusters(edges, n_edges: int | None = None) -> pa.Table:
-    """Run distributed CC over a verified-edge Dataset and collect the (small —
-    one row per clustered doc) result as a sorted (doc_id, cluster_id) table."""
+def _collect_clusters(edges, n_edges: int | None = None, as_dataset: bool = False):
+    """Run distributed CC over a verified-edge Dataset. Default: collect the
+    (small — one row per clustered doc) result as a sorted (doc_id, cluster_id)
+    table. ``as_dataset=True`` keeps the labels distributed (rename only) — the
+    10^12-doc consumer writes them to parquet instead of collecting."""
     labels = connected_components(edges, n_edges=n_edges)
+    if as_dataset:
+        return labels.rename_columns({"node": "doc_id", "lbl": "cluster_id"})
     df = labels.to_pandas().sort_values("node").reset_index(drop=True)
     return pa.table(
         {
@@ -568,7 +597,8 @@ def minhash_lsh_dedup(
     shingle_k: int = 3,
     threshold: float = 0.8,
     seed: int = 7,
-) -> pa.Table:
+    as_dataset: bool = False,
+):
     """Near-duplicate clustering: returns ``(doc_id, cluster_id)`` (cluster_id =
     min member id) for every doc in a verified near-dup cluster.
 
@@ -596,10 +626,10 @@ def minhash_lsh_dedup(
     band_rows = ds.select_columns([id_col, text_col]).map_batches(
         bandrows, batch_format="pyarrow", zero_copy_batch=True
     )
-    members = _hot_members(band_rows, id_col)
+    members, n_band_rows = _hot_members(band_rows, id_col)
     if members is None:
         return pa.table(_EMPTY_CLUSTERS)
-    pairs = _emit_pairs(members, id_col).materialize()
+    pairs = _emit_pairs(members, id_col, num_partitions=_partitions_for(n_band_rows)).materialize()
     n_pairs = pairs.count()
     if n_pairs == 0:
         return pa.table(_EMPTY_CLUSTERS)
@@ -627,7 +657,7 @@ def minhash_lsh_dedup(
     n_edges = edges.count()
     if n_edges == 0:
         return pa.table(_EMPTY_CLUSTERS)
-    return _collect_clusters(edges, n_edges)
+    return _collect_clusters(edges, n_edges, as_dataset)
 
 
 # ---------------------------------------------------------------------------
@@ -671,7 +701,8 @@ def simhash_dedup(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     seed: int = 0,
-) -> pa.Table:
+    as_dataset: bool = False,
+):
     """Near-dup clusters by SimHash: 4×16-bit band buckets (pigeonhole-complete for
     Hamming ≤ 3), hot buckets via native count, distributed pair emission, exact
     Hamming verify vectorized in ``map_batches`` (the fingerprints ride the band
@@ -699,10 +730,10 @@ def simhash_dedup(
     band_rows = ds.select_columns([id_col, text_col]).map_batches(
         bandrows, batch_format="pyarrow", zero_copy_batch=True
     )
-    members = _hot_members(band_rows, id_col, extra_cols=("fp",))
+    members, n_band_rows = _hot_members(band_rows, id_col, extra_cols=("fp",))
     if members is None:
         return pa.table(_EMPTY_CLUSTERS)
-    pairs = _emit_pairs(members, id_col, extra_cols=("fp",))
+    pairs = _emit_pairs(members, id_col, extra_cols=("fp",), num_partitions=_partitions_for(n_band_rows))
 
     def verify(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -718,7 +749,7 @@ def simhash_dedup(
     n_edges = edges.count()
     if n_edges == 0:
         return pa.table(_EMPTY_CLUSTERS)
-    return _collect_clusters(edges, n_edges)
+    return _collect_clusters(edges, n_edges, as_dataset)
 
 
 # ---------------------------------------------------------------------------
@@ -762,7 +793,8 @@ def embedding_cosine_dedup(
     threshold: float = 0.95,
     n_planes: int = 16,
     seed: int = 5,
-) -> pa.Table:
+    as_dataset: bool = False,
+):
     """Near-dup clusters among embeddings: random-hyperplane LSH bucket key, hot
     buckets via native count, distributed pair emission, candidate vectors
     attached via Bloom-prefiltered hash joins, exact cosine ≥ threshold verify
@@ -782,10 +814,10 @@ def embedding_cosine_dedup(
     band_rows = ds.select_columns([id_col, emb_col]).map_batches(
         bucket, batch_format="pyarrow", zero_copy_batch=True
     )
-    members = _hot_members(band_rows, id_col)
+    members, n_band_rows = _hot_members(band_rows, id_col)
     if members is None:
         return pa.table(_EMPTY_CLUSTERS)
-    pairs = _emit_pairs(members, id_col).materialize()
+    pairs = _emit_pairs(members, id_col, num_partitions=_partitions_for(n_band_rows)).materialize()
     n_pairs = pairs.count()
     if n_pairs == 0:
         return pa.table(_EMPTY_CLUSTERS)
@@ -833,4 +865,4 @@ def embedding_cosine_dedup(
     n_edges = edges.count()
     if n_edges == 0:
         return pa.table(_EMPTY_CLUSTERS)
-    return _collect_clusters(edges, n_edges)
+    return _collect_clusters(edges, n_edges, as_dataset)

@@ -249,13 +249,26 @@ class BroadcastSetSemiJoin:
         return batch.filter(pa.array(hit))
 
 
-def exact_semi_join(ds, keys, column: str, negate: bool = False, concurrency: int | tuple = (1, 8)):
-    """Exact semi (or anti) join of ``ds`` against a broadcast small key collection."""
-    keys_ref = ray.put(list(keys))
-    return ds.map_batches(
-        BroadcastSetSemiJoin,
-        fn_constructor_kwargs={"keys_ref": keys_ref, "column": column, "negate": negate},
-        batch_format="pyarrow",
-        concurrency=concurrency,
-        zero_copy_batch=True,
-    )
+def exact_semi_join(ds, keys, column: str, negate: bool = False, concurrency=None):
+    """Exact semi (or anti) join of ``ds`` against a broadcast small key collection.
+
+    Task-based on purpose: the per-task state is ONE pre-sorted array fetched
+    zero-copy from the object store — an actor pool would pay seconds of spin-up
+    to save a microsecond ``ray.get`` per task. (``concurrency`` is accepted for
+    API compatibility; tasks autoscale.)"""
+    lookup = np.sort(np.asarray(list(keys)))
+    keys_ref = ray.put(lookup)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        lk = ray.get(keys_ref)
+        vals = np.asarray(batch.column(column).combine_chunks())
+        if len(lk) == 0:
+            hit = np.zeros(len(vals), dtype=bool)
+        else:
+            idx = np.clip(np.searchsorted(lk, vals), 0, len(lk) - 1)
+            hit = lk[idx] == vals
+        if negate:
+            hit = ~hit
+        return batch.filter(pa.array(hit))
+
+    return ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)

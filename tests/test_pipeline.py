@@ -216,3 +216,40 @@ def test_shuffle_probe_bitwise_equal_broadcast(corpus_dir, queries_path, ray_ses
         k: cm_s[k] for k in ("tp", "fp", "fn", "tn")
     }
     assert cm_s["fn"] == 0
+
+
+def test_job_entry_runs_and_resumes(corpus_dir, tmp_path):
+    """tools/job_entry.py — the `ray job submit` surface: end-to-end run writes
+    per-shard checkpoints + per-lang estimates + metrics; a resubmission resumes
+    (all shards already finished → zero rows re-shuffled)."""
+    import json
+    import subprocess
+    import sys as _sys
+
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    cmd = [
+        _sys.executable,
+        "/root/repo/tools/job_entry.py",
+        "--input", corpus_dir,
+        "--ckpt-dir", ckpt,
+        "--output", out,
+        "--num-shards", "8",
+        "--local",
+    ]
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    r1 = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=300)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    first = json.loads(r1.stdout.strip().splitlines()[-1])
+    assert first["ok"] and first["rows"] == N_ROWS
+    m = json.load(open(f"{out}/metrics.json"))
+    assert m["bloom"]["lineage_rows_in_sum"] == N_ROWS
+    assert len(finished_shards(ckpt)) == 8
+    import pyarrow.parquet as pq2
+
+    langs = pq2.read_table(f"{out}/lang_url_counts.parquet")
+    assert langs.num_rows >= 1
+    # resubmit: all shards finished → resume path, lineage says 0 new rows
+    r2 = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=300)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    m2 = json.load(open(f"{out}/metrics.json"))
+    assert m2["bloom"]["inserted"] == m["bloom"]["inserted"]  # identical filter
