@@ -24,19 +24,41 @@ from raysketch.sketches.base import sketch_from_bytes
 
 
 class SketchProber:
-    """Actor-pool callable: holds the deserialized sketch (once per actor)."""
+    """Actor-pool callable: holds the deserialized sketch (once per actor).
 
-    def __init__(self, blob_ref, column: str, out_column: str = "member", negate: bool = False):
+    ``count_label``: fuse the confusion-matrix partial counting into this stage —
+    the batch's labels are compared against the probe result in place and ONE
+    4-int row per batch comes out (no second operator, no probe rows emitted)."""
+
+    def __init__(
+        self,
+        blob_ref,
+        column: str,
+        out_column: str = "member",
+        negate: bool = False,
+        count_label: str | None = None,
+    ):
         blob = ray.get(blob_ref) if not isinstance(blob_ref, (bytes, bytearray)) else blob_ref
         self.sketch = sketch_from_bytes(bytes(blob))
         self.column = column
         self.out_column = out_column
         self.negate = negate
+        self.count_label = count_label
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         hits = self.sketch.probe_column(batch.column(self.column).combine_chunks())
         if self.negate:
             hits = ~hits
+        if self.count_label is not None:
+            label = np.asarray(batch.column(self.count_label).combine_chunks())
+            return pa.table(
+                {
+                    "tp": [int(np.sum(hits & label))],
+                    "fp": [int(np.sum(hits & ~label))],
+                    "fn": [int(np.sum(~hits & label))],
+                    "tn": [int(np.sum(~hits & ~label))],
+                }
+            )
         return batch.append_column(self.out_column, pa.array(hits))
 
 
@@ -91,20 +113,22 @@ def confusion_matrix(
     concurrency: int | tuple = (1, 8),
 ) -> dict:
     """The reference's accuracy oracle (simple_benchmark.cpp:163-167, 305-313):
-    probe a labeled test set, count tp/fp/fn/tn with per-batch partials + global sum,
-    derive fp_rate = fp/negatives and fn_rate = fn/positives."""
-    probed = probe_dataset(ds, sketch, column, out_column="__member", concurrency=concurrency)
-
-    def partial_counts(batch: pa.Table) -> pa.Table:
-        pred = np.asarray(batch.column("__member").combine_chunks())
-        label = np.asarray(batch.column(label_column).combine_chunks())
-        tp = int(np.sum(pred & label))
-        fp = int(np.sum(pred & ~label))
-        fn = int(np.sum(~pred & label))
-        tn = int(np.sum(~pred & ~label))
-        return pa.table({"tp": [tp], "fp": [fp], "fn": [fn], "tn": [tn]})
-
-    counts = probed.map_batches(partial_counts, batch_format="pyarrow")
+    probe a labeled test set, count tp/fp/fn/tn with per-batch partials + global
+    sum — the counting is FUSED into the prober stage (one 4-int row per batch
+    leaves the actor; probe rows are never materialized)."""
+    blob_ref = ray.put(sketch.to_bytes())
+    counts = ds.map_batches(
+        SketchProber,
+        fn_constructor_kwargs={
+            "blob_ref": blob_ref,
+            "column": column,
+            "count_label": label_column,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=None,
+        zero_copy_batch=True,
+    )
     agg = counts.sum(["tp", "fp", "fn", "tn"])
     tp, fp, fn, tn = (agg[f"sum({c})"] for c in ("tp", "fp", "fn", "tn"))
     negatives = fp + tn
