@@ -253,6 +253,28 @@ def q_token_counts_global(sf_dir: str):
     )
 
 
+def q_heavy_hitters(sf_dir: str):
+    """Misra–Gries top-20 tokens over all document text (mergeable frequent-items
+    summary, Agarwal et al. PODS'12 merge). k=4096 ≫ the corpus vocabulary, so no
+    counter is ever pruned and the estimates are EXACT — SQL-oracle-checkable
+    (same trick as cms_event_types; the approximation bounds are property-tested
+    in tests/test_sketches.py on streams that DO overflow k)."""
+    import pandas as pd
+
+    from raysketch.pipeline.build import build_sketch
+    from raysketch.sketches.mg import MisraGries
+
+    def upd(sk, col):
+        toks = pc.list_flatten(pc.utf8_split_whitespace(col))
+        toks = toks.filter(pc.greater(pc.utf8_length(toks), 0))
+        sk.update_column(toks)
+
+    ds = _read(sf_dir, "documents", ["text"])
+    mg = build_sketch(ds, "text", lambda: MisraGries(4096), update=upd)
+    top = mg.topk(20)
+    return pd.DataFrame({"token": [t for t, _ in top], "est": [int(c) for _, c in top]})
+
+
 def q_distinct_langs(sf_dir: str):
     """Distinct values of one column (``ds.unique`` — a shuffle op)."""
     import pandas as pd
@@ -668,6 +690,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": q_top_orders,
         "distinct_langs": q_distinct_langs,
         "token_counts_global": q_token_counts_global,
+        "heavy_hitters": q_heavy_hitters,
         # sketch / approximate (rows-only)
         "bloom_membership": q_bloom_membership,
         "bloom_membership_shuffle": q_bloom_membership_shuffle,
@@ -758,5 +781,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT token, count(*)::BIGINT AS n FROM "
             "(SELECT unnest(regexp_extract_all(text, '\\S+')) AS token FROM documents) "
             "GROUP BY token"
+        ),
+        # MG k (4096) >> vocabulary (31 tokens) → no pruning ever happens → the
+        # summary's counts are exact and the top-20 matches the true top-20
+        "heavy_hitters": (
+            "SELECT token, count(*)::BIGINT AS est FROM "
+            "(SELECT unnest(regexp_extract_all(text, '\\S+')) AS token FROM documents) "
+            "GROUP BY token ORDER BY est DESC, token LIMIT 20"
         ),
     }

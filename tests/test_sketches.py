@@ -407,3 +407,58 @@ def test_bloom_blocked256_invariants():
     # geometry guard: 64/256 variants must not merge
     with pytest.raises(ValueError):
         sk64.merge(sk)
+
+
+def test_misra_gries_bounds_and_merge():
+    """MG guarantees (Misra-Gries'82 + Agarwal et al. PODS'12 mergeable form):
+    true - N/(k+1) <= estimate <= true, for any partition/merge tree; every key
+    with frequency > N/(k+1) is retained."""
+    import pyarrow as pa
+
+    from raysketch.sketches.mg import MisraGries
+
+    rng = np.random.default_rng(7)
+    # zipf-ish stream with far more distinct keys than k
+    vals = rng.zipf(1.3, size=60_000) % 5000
+    keys = np.array([f"k{v}" for v in vals])
+    true = {}
+    for k_ in keys:
+        true[k_] = true.get(k_, 0) + 1
+    N = len(keys)
+
+    k = 64
+    single = MisraGries(k)
+    single.update_column(pa.array(keys))
+    # merged from 8 arbitrary partitions
+    merged = MisraGries(k)
+    for part in np.array_split(keys, 8):
+        p = MisraGries(k)
+        p.update_column(pa.array(part))
+        merged.merge(p)
+
+    for sk in (single, merged):
+        assert sk.total == N
+        bound = N / (k + 1)
+        for key, t in true.items():
+            est = sk.estimate(key)
+            assert est <= t
+            assert est >= t - bound - 1e-9
+            if t > bound:
+                assert key in sk.counters  # heavy hitters always retained
+        assert len(sk.counters) <= k
+    # roundtrip
+    rt = MisraGries.from_bytes(merged.to_bytes())
+    assert rt.counters == merged.counters and rt.total == merged.total
+
+
+def test_misra_gries_exact_when_k_exceeds_cardinality():
+    import pyarrow as pa
+
+    from raysketch.sketches.mg import MisraGries
+
+    mg = MisraGries(100)
+    mg.update_column(pa.array(["a"] * 5 + ["b"] * 3 + ["c"]))
+    mg2 = MisraGries(100)
+    mg2.update_column(pa.array(["a", "c", "c"]))
+    mg.merge(mg2)
+    assert mg.topk(3) == [("a", 6), ("b", 3), ("c", 3)]
