@@ -143,6 +143,39 @@ def q_sliding_windows(sf_dir: str):
     return out[["event_type", "window_start", "n_events"]]
 
 
+def q_window_distinct(sf_dir: str):
+    """Exact distinct users per tumbling 1-day window — the distinct-in-window
+    pattern: per-batch (window, user) dedup partials shrink the shuffle, then a
+    native two-level groupby (dedup pairs → count per window). The approximate
+    analogue at 10^12 rows is the same shape with per-window HLL partials
+    (see hll_by_lang); this exact form is the oracle-checkable one."""
+    from ray.data.aggregate import Count
+
+    from raysketch.pipeline.events import _epoch_seconds
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        epoch = _epoch_seconds(batch.column("ts"))
+        window = (epoch // 86400) * 86400
+        users = np.asarray(batch.column("user_id"))
+        pairs = np.unique(np.stack([window, users]), axis=1)
+        return pa.table(
+            {
+                "window_start": pa.array(pairs[0]),
+                "user_id": pa.array(pairs[1]),
+            }
+        )
+
+    pairs = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    distinct = pairs.groupby(["window_start", "user_id"]).aggregate(Count(alias_name="__n"))
+    return (
+        distinct.groupby("window_start")
+        .aggregate(Count(alias_name="n_users"))
+        .to_pandas()
+    )
+
+
 def q_sessionize(sf_dir: str):
     """Gap-based sessions per user (30-min gap)."""
     from raysketch.pipeline.events import sessionize
@@ -700,6 +733,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_stats": q_quality_stats,
         "window_events": q_window_events,
         "sliding_windows": q_sliding_windows,
+        "window_distinct": q_window_distinct,
         "sessionize": q_sessionize,
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
@@ -761,6 +795,10 @@ def oracle_sql() -> dict[str, str]:
             "  UNION ALL"
             "  SELECT event_type, (floor(epoch(ts))::BIGINT // 3600) * 3600 - 3600 AS window_start FROM events"
             ") GROUP BY event_type, window_start"
+        ),
+        "window_distinct": (
+            "SELECT (floor(epoch(ts))::BIGINT // 86400) * 86400 AS window_start, "
+            "count(DISTINCT user_id)::BIGINT AS n_users FROM events GROUP BY window_start"
         ),
         "sessionize": (
             "SELECT user_id, count(*)::BIGINT AS n_events, "
