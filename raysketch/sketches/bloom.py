@@ -49,6 +49,24 @@ def theoretical_bits_per_item(fp_rate: float) -> float:
     return -math.log(fp_rate) / (math.log(2) ** 2)
 
 
+_MASK_TABLE_SIZE = 4096  # entries; deterministic (seeded) — merges stay aligned
+_MASK_TABLE_SEED = 0xB10F
+
+
+def _make_mask_table(k: int, size: int = _MASK_TABLE_SIZE, seed: int = _MASK_TABLE_SEED) -> np.ndarray:
+    """``size`` random 64-bit masks with exactly ``min(k, 64)`` bits set — the
+    MaskTable of the patterned variant (bloom_filters.h:354-536 semantics,
+    regenerated from a fixed seed rather than copied). Deterministic so that
+    independently-built filters of equal geometry OR-merge correctly."""
+    rng = np.random.default_rng(seed + k)
+    kk = min(k, 64)
+    table = np.zeros(size, dtype=np.uint64)
+    for i in range(size):
+        bits = rng.choice(64, size=kk, replace=False)
+        table[i] = np.bitwise_or.reduce(np.uint64(1) << bits.astype(np.uint64))
+    return table
+
+
 class BloomSketch:
     """Single-partition Bloom filter over ``(h1, h2)`` uint32 hash pairs."""
 
@@ -85,6 +103,17 @@ class BloomSketch:
             self.m = ((self.m + block_bits - 1) // block_bits) * block_bits
             self._bits_u8 = None
             self._blocks = np.zeros(self.m // 64, dtype=np.uint64)
+        elif algo == "patterned":
+            # PatternedSimdBloomFilter / MaskTable (bloom_filters.h:354-536):
+            # a precomputed table of k-bit 64-bit masks; h1 picks the block, h2
+            # picks the mask — insert is ONE vectorized OR per row (no k-loop at
+            # all), query one AND+compare. Trades a little FPR (mask reuse) for
+            # the fewest memory ops of any variant.
+            self.block_bits = 64
+            self.m = max(self.m, 64)
+            self._bits_u8 = None
+            self._blocks = np.zeros(self.m // 64, dtype=np.uint64)
+            self.mask_table = _make_mask_table(self.k)
         else:
             raise ValueError(f"unknown bloom algo: {algo}")
         self.count = 0  # inserted elements (bloom.h:361 counter)
@@ -107,6 +136,11 @@ class BloomSketch:
                     pos = g.astype(np.int64)
                     pos %= self.m
                     self._bits_u8[pos] = 1
+        elif self.algo == "patterned":
+            nblocks = len(self._blocks)
+            idx = h1.astype(np.int64) % nblocks
+            masks = self.mask_table[h2.astype(np.int64) % len(self.mask_table)]
+            np.bitwise_or.at(self._blocks, idx, masks)
         elif self.block_bits == 64:
             idx, mask = self._block_masks(h1, h2)
             np.bitwise_or.at(self._blocks, idx, mask)
@@ -138,6 +172,11 @@ class BloomSketch:
                     pos %= self.m
                     hits &= self._bits_u8[pos].astype(bool)
             return hits
+        if self.algo == "patterned":
+            nblocks = len(self._blocks)
+            idx = h1.astype(np.int64) % nblocks
+            masks = self.mask_table[h2.astype(np.int64) % len(self.mask_table)]
+            return (self._blocks[idx] & masks) == masks
         if self.block_bits == 64:
             idx, mask = self._block_masks(h1, h2)
             return (self._blocks[idx] & mask) == mask
@@ -241,7 +280,9 @@ class BloomSketch:
         sk.m = meta["m"]
         sk.k = meta["k"]
         sk.count = meta["count"]
-        sk.block_bits = meta.get("block_bits", 64 if meta["algo"] == "blocked" else 0)
+        sk.block_bits = meta.get("block_bits", 64 if meta["algo"] in ("blocked", "patterned") else 0)
+        if sk.algo == "patterned":
+            sk.mask_table = _make_mask_table(sk.k)  # deterministic — not serialized
         raw = np.frombuffer(arrays[0], dtype=np.uint8)
         if sk.algo == "classic":
             sk._bits_u8 = np.unpackbits(raw, bitorder="little")[: sk.m].copy()

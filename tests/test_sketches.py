@@ -501,3 +501,26 @@ def test_reservoir_uniformity_and_merge():
     r = build_merged(1)
     rt = ReservoirSample.from_bytes(r.to_bytes())
     assert rt.sample() == r.sample() and rt.n_seen == r.n_seen
+
+
+def test_bloom_patterned_invariants():
+    """Patterned (mask-table) variant, bloom_filters.h:354-536 semantics: one
+    precomputed k-bit mask per item — no false negatives, reasonable FPR, and
+    deterministic mask table so independent equal-geometry builds OR-merge to
+    the same bits as a single build."""
+    import pyarrow as pa
+
+    keys = pa.array([f"key{i}" for i in range(20000)])
+    neg = pa.array([f"neg{i}" for i in range(40000)])
+    sk = BloomSketch(20000, 0.01, algo="patterned")
+    sk.update_column(keys)
+    assert sk.probe_column(keys).all()
+    fpr = sk.probe_column(neg).mean()
+    assert fpr < 0.06  # mask reuse costs some FPR vs classic; must stay sane
+    a = BloomSketch(20000, 0.01, algo="patterned")
+    b = BloomSketch(20000, 0.01, algo="patterned")
+    a.update_column(keys.slice(0, 10000))
+    b.update_column(keys.slice(10000))
+    assert a.merge(b).to_bytes() == sk.to_bytes()
+    rt = BloomSketch.from_bytes(sk.to_bytes())
+    assert rt.probe_column(keys).all() and rt.to_bytes() == sk.to_bytes()

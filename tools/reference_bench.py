@@ -88,6 +88,9 @@ def run_cell(filter_name: str, n: int, num_cpus: int, keys_dir: str, queries_pat
     elif filter_name == "bloom_blocked256":
         # 256-bit cache-line blocked layout (bloom_filters.h:94-159)
         sk = build_sketch(ds, "key", lambda: BloomSketch(n, p, algo="blocked", block_bits=256))
+    elif filter_name == "bloom_patterned":
+        # mask-table patterned variant (bloom_filters.h:354-536)
+        sk = build_sketch(ds, "key", lambda: BloomSketch(n, p, algo="patterned"))
     else:
         raise ValueError(filter_name)
     insert_ms = (time.perf_counter() - t0) * 1000
@@ -130,7 +133,7 @@ def main():
     ap.add_argument(
         "--filters",
         type=str,
-        default="partitioned_bloom,bloom_classic,bloom_blocked,bloom_blocked256,bloom_classic_xxh32",
+        default="partitioned_bloom,bloom_classic,bloom_blocked,bloom_blocked256,bloom_patterned,bloom_classic_xxh32",
     )
     ap.add_argument("--out", type=str, default="/tmp/raysketch_bench/benchmark_results.tsv")
     ap.add_argument("--workdir", type=str, default="/tmp/raysketch_bench")
