@@ -122,18 +122,49 @@ def build_keyed_sketch(
         partial, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
     )
 
-    def merge_group(group: pa.Table) -> pa.Table:
-        blob = _merge_blobs(group.column("state").to_pylist())
+    # merge partials per key WITHOUT map_groups (one Python call + DataFrame per
+    # group — fatal at high key cardinality): HASH_SHUFFLE the partial rows by
+    # key so each block holds whole keys, then ONE task per block walks the
+    # sorted key runs and merges each run's blobs. Python cost is per OUTPUT
+    # key, the unavoidable minimum.
+    from ray.data.context import ShuffleStrategy
+
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    nparts = max(4, min(32, ncpu))
+    parts.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    parts.context.default_hash_shuffle_parallelism = nparts
+    routed = parts.repartition(num_blocks=nparts, keys=[key])
+
+    def merge_block(batch: pa.Table) -> pa.Table:
+        out_k: list = []
+        out_s: list = []
+        out_n: list = []
+        if batch.num_rows:
+            karr = np.asarray(batch.column(key).combine_chunks())
+            order = np.argsort(karr, kind="stable")
+            ks = karr[order]
+            states = batch.column("state").combine_chunks()
+            rows_in = np.asarray(batch.column("rows_in").combine_chunks())[order]
+            new_k = np.empty(len(ks), dtype=bool)
+            new_k[0] = True
+            np.not_equal(ks[1:], ks[:-1], out=new_k[1:])
+            bounds = np.append(np.nonzero(new_k)[0], len(ks))
+            for j in range(len(bounds) - 1):
+                idx = order[bounds[j] : bounds[j + 1]]
+                out_k.append(str(ks[bounds[j]]))
+                out_s.append(_merge_blobs(states[int(i)].as_py() for i in idx))
+                out_n.append(int(rows_in[bounds[j] : bounds[j + 1]].sum()))
         return pa.table(
             {
-                key: [group.column(key)[0].as_py()],
-                "state": pa.array([blob], type=pa.binary()),
-                "rows_in": [int(pa.compute.sum(group.column("rows_in")).as_py() or 0)],
+                key: pa.array(out_k, type=pa.string()),
+                "state": pa.array(out_s, type=pa.binary()),
+                "rows_in": pa.array(out_n, type=pa.int64()),
             }
         )
 
-    merged = parts.groupby(key).map_groups(merge_group, batch_format="pyarrow")
-    rows = merged.take_all()
+    rows = routed.map_batches(merge_block, batch_format="pyarrow", batch_size=None).take_all()
     return pa.table(
         {
             key: pa.array([r[key] for r in rows], type=pa.string()),
