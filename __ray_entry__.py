@@ -691,6 +691,18 @@ def q_media_features(sf_dir: str):
     return out.to_pandas()
 
 
+def q_media_frames(sf_dir: str):
+    """Frame-sampling plumbing: deterministic fake video frames, one row per
+    sampled frame (decode stubbed — the Ray-side fan-out/schema is real)."""
+    import ray.data as rd
+
+    from raysketch.pipeline.multimodal import gen_media_table, sample_frames
+
+    ds = rd.from_arrow(gen_media_table(256))
+    out = sample_frames(ds, every_ms=1000).select_columns(["media_id", "frame_idx"])
+    return out.to_pandas()
+
+
 def q_webpipeline(sf_dir: str):
     """The north-star web pipeline on the F1 corpus: read → extract_text (vectorized,
     html dropped immediately) → per-lang HLL of urls + Bloom build; returns
@@ -762,6 +774,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         "media_features": q_media_features,
+        "media_frames": q_media_frames,
         "webpipeline": q_webpipeline,
         "quantiles_by_lang": q_quantiles_by_lang,
         "dedup_incremental": q_dedup_incremental,

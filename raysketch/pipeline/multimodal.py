@@ -91,3 +91,76 @@ def media_features(ds, feat_dim: int = 32, concurrency: int | tuple = (1, 4), ba
         batch_size=batch_size,
         zero_copy_batch=True,
     )
+
+
+class FrameSampleStage:
+    """Actor-pool stage: video rows fan out to per-frame rows (the frame-sample
+    op of a training-data pipeline). One input row emits
+    ``ceil(duration_ms / every_ms)`` rows ``(media_id, frame_idx, frame)``; the
+    fan-out happens INSIDE the batch (one output table, vectorized offsets) —
+    never per-row Python emission.
+
+    The frame decode is stubbed like ``DecodeAndFeaturize``: the fake "frame" is
+    a deterministic fixed-size slice of the payload bytes (a real implementation
+    seeks with ffmpeg here — ``decode="strict"`` raises at that exact point).
+    Non-video rows pass through with a single frame (frame_idx 0)."""
+
+    def __init__(self, every_ms: int = 1000, frame_bytes: int = 32, decode: str = "deterministic_fake"):
+        if decode not in ("deterministic_fake", "strict"):
+            raise ValueError("decode must be 'deterministic_fake' or 'strict'")
+        self.every_ms = int(every_ms)
+        self.frame_bytes = int(frame_bytes)
+        self.decode = decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.decode == "strict":
+            raise NotImplementedError(
+                "real frame extraction requires ffmpeg, absent in this environment"
+            )
+        media_id = np.asarray(batch.column("media_id").combine_chunks())
+        mtype = np.asarray(batch.column("media_type").combine_chunks())
+        dur = np.asarray(batch.column("duration_ms").combine_chunks()).astype(np.int64)
+        payload = batch.column("payload").combine_chunks()
+        data, starts, lengths = column_spans(payload)
+        n_frames = np.where(mtype == "video", np.maximum((dur + self.every_ms - 1) // self.every_ms, 1), 1)
+        offs = np.zeros(len(n_frames) + 1, dtype=np.int64)
+        np.cumsum(n_frames, out=offs[1:])
+        total = int(offs[-1])
+        row_of = np.repeat(np.arange(len(n_frames), dtype=np.int64), n_frames)
+        frame_idx = np.arange(total, dtype=np.int64) - np.repeat(offs[:-1], n_frames)
+        # fake frame: frame_bytes-slice at a deterministic rotating offset
+        fb = self.frame_bytes
+        span_len = np.minimum(lengths[row_of], fb)
+        span_start = starts[row_of] + np.where(
+            lengths[row_of] > fb, (frame_idx * fb) % np.maximum(lengths[row_of] - fb, 1), 0
+        )
+        out_offs = np.zeros(total + 1, dtype=np.int64)
+        np.cumsum(span_len, out=out_offs[1:])
+        gather = np.repeat(span_start, span_len) + (
+            np.arange(int(out_offs[-1]), dtype=np.int64) - np.repeat(out_offs[:-1], span_len)
+        )
+        buf = data[gather] if len(gather) else np.empty(0, dtype=np.uint8)
+        frames = pa.Array.from_buffers(
+            pa.binary(),
+            total,
+            [None, pa.py_buffer(out_offs.astype(np.int32)), pa.py_buffer(buf)],
+        )
+        return pa.table(
+            {
+                "media_id": pa.array(media_id[row_of]),
+                "frame_idx": pa.array(frame_idx),
+                "frame": frames,
+            }
+        )
+
+
+def sample_frames(ds, every_ms: int = 1000, concurrency: int | tuple = (1, 4), batch_size: int = 64):
+    """Frame-sampling pipeline: one row per sampled frame."""
+    return ds.map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs={"every_ms": every_ms},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+        zero_copy_batch=True,
+    )

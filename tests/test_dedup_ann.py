@@ -278,3 +278,29 @@ def test_minhash_dedup_candidates_exceed_driver_memory(ray_session):
     )
     assert out["doc_id"].tolist() == ids
     assert out["cluster_id"].tolist() == [2 * (i // 2) for i in range(2 * n_pairs)]
+
+
+def test_frame_sampling(ray_session):
+    """Frame-sample plumbing: video rows fan out to ceil(duration/every) frame
+    rows, others pass through with one frame; deterministic across runs."""
+    import ray.data as rd
+
+    from raysketch.pipeline.multimodal import FrameSampleStage, gen_media_table, sample_frames
+
+    tbl = gen_media_table(64)
+    out = sample_frames(rd.from_arrow(tbl), every_ms=1000).to_pandas()
+    df = tbl.to_pandas()
+    import math
+
+    expect = sum(
+        max(math.ceil(r.duration_ms / 1000), 1) if r.media_type == "video" else 1
+        for r in df.itertuples()
+    )
+    assert len(out) == expect
+    assert (out.groupby("media_id")["frame_idx"].min() == 0).all()
+    out2 = sample_frames(rd.from_arrow(tbl), every_ms=1000).to_pandas()
+    a = out.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+    b = out2.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+    assert (a["frame"] == b["frame"]).all()
+    with pytest.raises(NotImplementedError):
+        FrameSampleStage(decode="strict")(tbl.slice(0, 2))
