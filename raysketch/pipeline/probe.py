@@ -22,6 +22,29 @@ import ray
 
 from raysketch.sketches.base import sketch_from_bytes
 
+# Per-worker-process deserialized-sketch cache for TASK-based probe stages:
+# worker processes persist across tasks, so after the first task on a worker the
+# filter is already unpacked — actor-like init amortization without paying actor
+# pool spin-up. Keyed by ObjectRef hex; bounded (filters are probed in sequence,
+# a handful live at once).
+_SKETCH_CACHE: dict = {}
+
+
+def _cached_sketch(blob_ref):
+    key = blob_ref.hex()
+    sk = _SKETCH_CACHE.get(key)
+    if sk is None:
+        if len(_SKETCH_CACHE) > 8:
+            _SKETCH_CACHE.clear()
+        sk = sketch_from_bytes(bytes(ray.get(blob_ref)))
+        _SKETCH_CACHE[key] = sk
+    return sk
+
+
+# blobs at most this big probe via tasks (cheap per-worker deserialize); bigger
+# filters use an actor pool so the unpack cost is paid exactly once per actor
+_TASK_PROBE_MAX_BLOB = 64 << 20
+
 
 class SketchProber:
     """Actor-pool callable: holds the deserialized sketch (once per actor).
@@ -70,8 +93,21 @@ def probe_dataset(
     concurrency: int | tuple = (1, 8),
     batch_size: int | None = None,
 ):
-    """Append a membership column by probing a broadcast sketch."""
-    blob_ref = ray.put(sketch.to_bytes())
+    """Append a membership column by probing a broadcast sketch. Small blobs
+    probe via tasks (per-worker sketch cache — no actor spin-up); big filters
+    use the actor pool so the unpack happens exactly once per actor."""
+    blob = sketch.to_bytes()
+    blob_ref = ray.put(blob)
+    if len(blob) <= _TASK_PROBE_MAX_BLOB:
+
+        def probe(batch: pa.Table) -> pa.Table:
+            sk = _cached_sketch(blob_ref)
+            hits = sk.probe_column(batch.column(column).combine_chunks())
+            return batch.append_column(out_column, pa.array(hits))
+
+        return ds.map_batches(
+            probe, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+        )
     return ds.map_batches(
         SketchProber,
         fn_constructor_kwargs={"blob_ref": blob_ref, "column": column, "out_column": out_column},
@@ -115,20 +151,41 @@ def confusion_matrix(
     """The reference's accuracy oracle (simple_benchmark.cpp:163-167, 305-313):
     probe a labeled test set, count tp/fp/fn/tn with per-batch partials + global
     sum — the counting is FUSED into the prober stage (one 4-int row per batch
-    leaves the actor; probe rows are never materialized)."""
-    blob_ref = ray.put(sketch.to_bytes())
-    counts = ds.map_batches(
-        SketchProber,
-        fn_constructor_kwargs={
-            "blob_ref": blob_ref,
-            "column": column,
-            "count_label": label_column,
-        },
-        batch_format="pyarrow",
-        concurrency=concurrency,
-        batch_size=None,
-        zero_copy_batch=True,
-    )
+    leaves the stage; probe rows are never materialized). Small blobs probe via
+    tasks with a per-worker sketch cache; big filters use the actor pool."""
+    blob = sketch.to_bytes()
+    blob_ref = ray.put(blob)
+    if len(blob) <= _TASK_PROBE_MAX_BLOB:
+
+        def probe_count(batch: pa.Table) -> pa.Table:
+            sk = _cached_sketch(blob_ref)
+            hits = sk.probe_column(batch.column(column).combine_chunks())
+            label = np.asarray(batch.column(label_column).combine_chunks())
+            return pa.table(
+                {
+                    "tp": [int(np.sum(hits & label))],
+                    "fp": [int(np.sum(hits & ~label))],
+                    "fn": [int(np.sum(~hits & label))],
+                    "tn": [int(np.sum(~hits & ~label))],
+                }
+            )
+
+        counts = ds.map_batches(
+            probe_count, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
+    else:
+        counts = ds.map_batches(
+            SketchProber,
+            fn_constructor_kwargs={
+                "blob_ref": blob_ref,
+                "column": column,
+                "count_label": label_column,
+            },
+            batch_format="pyarrow",
+            concurrency=concurrency,
+            batch_size=None,
+            zero_copy_batch=True,
+        )
     agg = counts.sum(["tp", "fp", "fn", "tn"])
     tp, fp, fn, tn = (agg[f"sum({c})"] for c in ("tp", "fp", "fn", "tn"))
     negatives = fp + tn
