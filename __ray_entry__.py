@@ -176,6 +176,22 @@ def q_window_distinct(sf_dir: str):
     )
 
 
+def q_asof_join(sf_dir: str):
+    """As-of join: for each click, the user's latest purchase at-or-before it
+    (DuckDB ASOF LEFT JOIN oracle). Distributed as union → keyed HASH_SHUFFLE →
+    per-block lexsort + cumulative-max forward fill (events.py::asof_join)."""
+    from raysketch.pipeline.events import asof_join
+
+    clicks = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"]).filter(
+        expr="event_type == 'click'"
+    )
+    purchases = _read(sf_dir, "events", ["user_id", "ts", "value", "event_type"]).filter(
+        expr="event_type == 'purchase'"
+    )
+    out = asof_join(clicks, purchases)
+    return out.to_pandas()
+
+
 def q_sessionize(sf_dir: str):
     """Gap-based sessions per user (30-min gap)."""
     from raysketch.pipeline.events import sessionize
@@ -746,6 +762,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_events": q_window_events,
         "sliding_windows": q_sliding_windows,
         "window_distinct": q_window_distinct,
+        "asof_join": q_asof_join,
         "sessionize": q_sessionize,
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
@@ -812,6 +829,13 @@ def oracle_sql() -> dict[str, str]:
         "window_distinct": (
             "SELECT (floor(epoch(ts))::BIGINT // 86400) * 86400 AS window_start, "
             "count(DISTINCT user_id)::BIGINT AS n_users FROM events GROUP BY window_start"
+        ),
+        "asof_join": (
+            "SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, "
+            "epoch_us(r.ts)::DOUBLE AS matched_ts_us, r.value AS matched_value "
+            "FROM (SELECT * FROM events WHERE event_type = 'click') l "
+            "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r "
+            "ON l.user_id = r.user_id AND l.ts >= r.ts"
         ),
         "sessionize": (
             "SELECT user_id, count(*)::BIGINT AS n_events, "

@@ -118,6 +118,124 @@ def sliding_window_agg(
     )
 
 
+def _epoch_us(ts) -> np.ndarray:
+    """Epoch MICROseconds (int64) from a timestamp column of any unit."""
+    if isinstance(ts, pa.ChunkedArray):
+        ts = ts.combine_chunks()
+    raw = pc.cast(ts, pa.int64()).to_numpy(zero_copy_only=False)
+    if not pa.types.is_timestamp(ts.type):
+        return raw * 1_000_000
+    unit = ts.type.unit
+    if unit == "ns":
+        return raw // 1_000
+    return raw * (1_000_000 // _UNIT_DIV[unit])
+
+
+def asof_join(
+    left,
+    right,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    left_id_col: str = "event_id",
+    right_value_col: str = "value",
+):
+    """As-of (latest-at-or-before) join: for every left row, the right row with
+    the greatest ``ts_col`` ≤ the left row's, within the same ``key_col`` —
+    DuckDB ``ASOF LEFT JOIN ... ON l.key = r.key AND l.ts >= r.ts`` semantics
+    (unmatched left rows keep nulls).
+
+    Ray-Data-first shape (an operator Ray Data lacks): both sides are projected
+    to narrow rows, tagged by side, UNIONed, hash-shuffled by key so each block
+    holds whole keys, and ONE vectorized task per block does lexsort by
+    (key, ts, side) + a cumulative-maximum forward fill of the last right-row
+    index (segment-reset via start-of-key comparison) — no per-key Python, no
+    sorted-merge actor state. Timestamps compare at microsecond precision.
+    Output: (left_id, key, ts_us, matched_ts_us, matched_value)."""
+    from ray.data.context import ShuffleStrategy
+
+    def prep_left(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "__key": batch.column(key_col),
+                "__ts": pa.array(_epoch_us(batch.column(ts_col))),
+                "__side": pa.array(np.ones(n, dtype=np.int8)),
+                "__lid": batch.column(left_id_col),
+                "__val": pa.array(np.full(n, np.nan)),
+            }
+        )
+
+    def prep_right(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "__key": batch.column(key_col),
+                "__ts": pa.array(_epoch_us(batch.column(ts_col))),
+                "__side": pa.array(np.zeros(n, dtype=np.int8)),
+                "__lid": pa.array(np.full(n, -1, dtype=np.int64)),
+                "__val": pa.array(
+                    batch.column(right_value_col).combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+                ),
+            }
+        )
+
+    lt = left.map_batches(prep_left, batch_format="pyarrow", zero_copy_batch=True)
+    rt = right.map_batches(prep_right, batch_format="pyarrow", zero_copy_batch=True)
+    both = lt.union(rt)
+    both.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    parts = both.repartition(num_blocks=max(8, min(64, ncpu * 2)), keys=["__key"])
+
+    # matched_* are float64 with NaN for unmatched rows — a SQL LEFT-join NULL
+    # lands as NaN in a pandas float column, so the driver's equal_nan compare
+    # lines up exactly
+    out_schema = {
+        left_id_col: pa.int64(),
+        key_col: pa.int64(),
+        "ts_us": pa.int64(),
+        "matched_ts_us": pa.float64(),
+        "matched_value": pa.float64(),
+    }
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({c: pa.array([], t) for c, t in out_schema.items()})
+        key = np.asarray(batch.column("__key").combine_chunks())
+        ts = np.asarray(batch.column("__ts").combine_chunks())
+        side = np.asarray(batch.column("__side").combine_chunks())
+        lid = np.asarray(batch.column("__lid").combine_chunks())
+        val = np.asarray(batch.column("__val").combine_chunks())
+        order = np.lexsort((side, ts, key))  # right(0) before left(1) at equal ts
+        key, ts, side, lid, val = key[order], ts[order], side[order], lid[order], val[order]
+        is_right = side == 0
+        cand = np.maximum.accumulate(np.where(is_right, np.arange(n), -1))
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        np.not_equal(key[1:], key[:-1], out=new_key[1:])
+        seg_start = np.repeat(np.nonzero(new_key)[0], np.diff(np.append(np.nonzero(new_key)[0], n)))
+        is_left = ~is_right
+        li = np.nonzero(is_left)[0]
+        c = cand[li]
+        valid = c >= seg_start[li]
+        csafe = np.where(valid, c, 0)
+        matched_ts = np.where(valid, ts[csafe].astype(np.float64), np.nan)
+        matched_val = np.where(valid, val[csafe], np.nan)
+        return pa.table(
+            {
+                left_id_col: pa.array(lid[li]),
+                key_col: pa.array(key[li]),
+                "ts_us": pa.array(ts[li]),
+                "matched_ts_us": pa.array(matched_ts),
+                "matched_value": pa.array(matched_val),
+            }
+        )
+
+    return parts.map_batches(per_block, batch_format="pyarrow", batch_size=None)
+
+
 def sessionize(
     ds,
     gap_s: int = 1800,

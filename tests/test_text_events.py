@@ -152,3 +152,44 @@ def test_sessionize_vectorized_no_map_groups(ray_session):
     exp["n_events"] = exp["n_events"].astype("int64")
     exp["n_sessions"] = exp["n_sessions"].astype("int64")
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_asof_join_matches_pandas(ray_session):
+    """asof_join vs pandas merge_asof (direction='backward', allow_exact_matches)
+    on random keyed streams, including users with no right rows at all."""
+    import ray.data as rd
+
+    from raysketch.pipeline.events import asof_join
+
+    rng = np.random.default_rng(21)
+    nl, nr = 800, 300
+    lt = pa.table(
+        {
+            "event_id": pa.array(np.arange(nl, dtype=np.int64)),
+            "user_id": pa.array(rng.integers(0, 40, nl)),
+            "ts": pa.array(rng.choice(10_000_000, size=nl, replace=False) * 1000, pa.timestamp("us")),
+        }
+    )
+    rt = pa.table(
+        {
+            "user_id": pa.array(rng.integers(0, 30, nr)),  # users 30-39 unmatched
+            "ts": pa.array(rng.choice(10_000_000, size=nr, replace=False) * 1000 + 500, pa.timestamp("us")),
+            "value": pa.array(rng.normal(size=nr)),
+        }
+    )
+    got = (
+        asof_join(rd.from_arrow(lt).repartition(4), rd.from_arrow(rt).repartition(3))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    ldf = lt.to_pandas().sort_values("ts")
+    rdf = rt.to_pandas().sort_values("ts")
+    exp = pd.merge_asof(ldf, rdf, on="ts", by="user_id", direction="backward").sort_values(
+        "event_id"
+    )
+    assert len(got) == nl
+    assert np.allclose(got["matched_value"], exp["value"].to_numpy(), equal_nan=True)
+    exp_ts = exp["ts"].astype("int64")  # pandas may upcast; matched ts from merge
+    # merge_asof does not return the matched right ts; check match presence only
+    assert (got["matched_value"].isna().to_numpy() == exp["value"].isna().to_numpy()).all()
