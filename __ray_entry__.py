@@ -192,6 +192,21 @@ def q_asof_join(sf_dir: str):
     return out.to_pandas()
 
 
+def q_range_join(sf_dir: str):
+    """Range (interval) join: every (click, purchase) pair of the same user with
+    the purchase inside the hour before the click — exact SQL inequality-join
+    oracle; one shuffle, vectorized in-block range matching."""
+    from raysketch.pipeline.events import range_join
+
+    clicks = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"]).filter(
+        expr="event_type == 'click'"
+    )
+    purchases = _read(sf_dir, "events", ["user_id", "ts", "value", "event_type"]).filter(
+        expr="event_type == 'purchase'"
+    )
+    return range_join(clicks, purchases, window_us=3_600_000_000).to_pandas()
+
+
 def q_sessionize(sf_dir: str):
     """Gap-based sessions per user (30-min gap)."""
     from raysketch.pipeline.events import sessionize
@@ -763,6 +778,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_windows": q_sliding_windows,
         "window_distinct": q_window_distinct,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "sessionize": q_sessionize,
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
@@ -836,6 +852,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT * FROM events WHERE event_type = 'click') l "
             "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r "
             "ON l.user_id = r.user_id AND l.ts >= r.ts"
+        ),
+        "range_join": (
+            "SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, "
+            "epoch_us(r.ts) AS matched_ts_us, r.value AS matched_value "
+            "FROM (SELECT * FROM events WHERE event_type = 'click') l "
+            "JOIN (SELECT * FROM events WHERE event_type = 'purchase') r "
+            "ON l.user_id = r.user_id "
+            "AND epoch_us(r.ts) BETWEEN epoch_us(l.ts) - 3600000000 AND epoch_us(l.ts)"
         ),
         "sessionize": (
             "SELECT user_id, count(*)::BIGINT AS n_events, "

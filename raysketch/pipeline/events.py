@@ -236,6 +236,122 @@ def asof_join(
     return parts.map_batches(per_block, batch_format="pyarrow", batch_size=None)
 
 
+def range_join(
+    left,
+    right,
+    window_us: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    left_id_col: str = "event_id",
+    right_value_col: str = "value",
+):
+    """Per-key interval join: every (left, right) pair with the same key and
+    ``right.ts ∈ [left.ts − window_us, left.ts]`` — SQL
+    ``JOIN ON key AND r.ts BETWEEN l.ts - w AND l.ts`` semantics, one output row
+    per matching pair.
+
+    Same distributed shape as ``asof_join``: tag + union + keyed HASH_SHUFFLE →
+    one task per block. In-block: both sides sorted by (key, ts); per key run the
+    match ranges come from two vectorized ``searchsorted`` calls over that key's
+    right timestamps (the Python loop is per DISTINCT KEY per block, with all
+    per-row work vectorized inside it), and pairs are emitted by repeat/arange
+    range flattening — no per-row or per-pair Python."""
+    from ray.data.context import ShuffleStrategy
+
+    def prep_left(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "__key": batch.column(key_col),
+                "__ts": pa.array(_epoch_us(batch.column(ts_col))),
+                "__side": pa.array(np.ones(n, dtype=np.int8)),
+                "__lid": batch.column(left_id_col),
+                "__val": pa.array(np.full(n, np.nan)),
+            }
+        )
+
+    def prep_right(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "__key": batch.column(key_col),
+                "__ts": pa.array(_epoch_us(batch.column(ts_col))),
+                "__side": pa.array(np.zeros(n, dtype=np.int8)),
+                "__lid": pa.array(np.full(n, -1, dtype=np.int64)),
+                "__val": pa.array(
+                    batch.column(right_value_col).combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+                ),
+            }
+        )
+
+    lt = left.map_batches(prep_left, batch_format="pyarrow", zero_copy_batch=True)
+    rt = right.map_batches(prep_right, batch_format="pyarrow", zero_copy_batch=True)
+    both = lt.union(rt)
+    both.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    parts = both.repartition(num_blocks=max(8, min(64, ncpu * 2)), keys=["__key"])
+
+    out_schema = {
+        left_id_col: pa.int64(),
+        key_col: pa.int64(),
+        "ts_us": pa.int64(),
+        "matched_ts_us": pa.int64(),
+        "matched_value": pa.float64(),
+    }
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({c: pa.array([], t) for c, t in out_schema.items()})
+        key = np.asarray(batch.column("__key").combine_chunks())
+        ts = np.asarray(batch.column("__ts").combine_chunks())
+        side = np.asarray(batch.column("__side").combine_chunks())
+        lid = np.asarray(batch.column("__lid").combine_chunks())
+        val = np.asarray(batch.column("__val").combine_chunks())
+        isl = side == 1
+        lk, lts, lids = key[isl], ts[isl], lid[isl]
+        rk, rts, rvals = key[~isl], ts[~isl], val[~isl]
+        lo_l = np.lexsort((lts, lk))
+        lk, lts, lids = lk[lo_l], lts[lo_l], lids[lo_l]
+        ro = np.lexsort((rts, rk))
+        rk, rts, rvals = rk[ro], rts[ro], rvals[ro]
+        lo_idx = np.zeros(len(lk), dtype=np.int64)
+        hi_idx = np.zeros(len(lk), dtype=np.int64)
+        if len(rk):
+            # per distinct key: two searchsorted calls over that key's segment
+            l_new = np.empty(len(lk), dtype=bool)
+            if len(lk):
+                l_new[0] = True
+                np.not_equal(lk[1:], lk[:-1], out=l_new[1:])
+            l_bounds = np.append(np.nonzero(l_new)[0], len(lk))
+            for j in range(len(l_bounds) - 1):
+                a, b = l_bounds[j], l_bounds[j + 1]
+                kv = lk[a]
+                rs = np.searchsorted(rk, kv, side="left")
+                re_ = np.searchsorted(rk, kv, side="right")
+                seg = rts[rs:re_]
+                lo_idx[a:b] = rs + np.searchsorted(seg, lts[a:b] - window_us, side="left")
+                hi_idx[a:b] = rs + np.searchsorted(seg, lts[a:b], side="right")
+        counts = hi_idx - lo_idx
+        total = int(counts.sum())
+        l_rep = np.repeat(np.arange(len(lk), dtype=np.int64), counts)
+        r_off = np.zeros(len(lk) + 1, dtype=np.int64)
+        np.cumsum(counts, out=r_off[1:])
+        r_idx = np.repeat(lo_idx, counts) + (np.arange(total, dtype=np.int64) - np.repeat(r_off[:-1], counts))
+        return pa.table(
+            {
+                left_id_col: pa.array(lids[l_rep]),
+                key_col: pa.array(lk[l_rep]),
+                "ts_us": pa.array(lts[l_rep]),
+                "matched_ts_us": pa.array(rts[r_idx]),
+                "matched_value": pa.array(rvals[r_idx]),
+            }
+        )
+
+    return parts.map_batches(per_block, batch_format="pyarrow", batch_size=None)
+
+
 def sessionize(
     ds,
     gap_s: int = 1800,

@@ -193,3 +193,43 @@ def test_asof_join_matches_pandas(ray_session):
     exp_ts = exp["ts"].astype("int64")  # pandas may upcast; matched ts from merge
     # merge_asof does not return the matched right ts; check match presence only
     assert (got["matched_value"].isna().to_numpy() == exp["value"].isna().to_numpy()).all()
+
+
+def test_range_join_matches_bruteforce(ray_session):
+    """range_join vs a brute-force pandas oracle on random keyed streams."""
+    import ray.data as rd
+
+    from raysketch.pipeline.events import range_join
+
+    rng = np.random.default_rng(33)
+    nl, nr, w = 400, 250, 900_000
+    lt = pa.table(
+        {
+            "event_id": pa.array(np.arange(nl, dtype=np.int64)),
+            "user_id": pa.array(rng.integers(0, 25, nl)),
+            "ts": pa.array(rng.integers(0, 20_000_000, nl), pa.timestamp("us")),
+        }
+    )
+    rt = pa.table(
+        {
+            "user_id": pa.array(rng.integers(0, 25, nr)),
+            "ts": pa.array(rng.integers(0, 20_000_000, nr), pa.timestamp("us")),
+            "value": pa.array(rng.normal(size=nr)),
+        }
+    )
+    got = (
+        range_join(rd.from_arrow(lt).repartition(4), rd.from_arrow(rt).repartition(3), window_us=w)
+        .to_pandas()
+        .sort_values(["event_id", "matched_ts_us", "matched_value"])
+        .reset_index(drop=True)
+    )
+    ldf, rdf = lt.to_pandas(), rt.to_pandas()
+    ldf["ts_us"] = ldf["ts"].astype("int64")
+    rdf["ts_us"] = rdf["ts"].astype("int64")
+    exp = ldf.merge(rdf, on="user_id", suffixes=("", "_r"))
+    exp = exp[(exp["ts_us_r"] >= exp["ts_us"] - w) & (exp["ts_us_r"] <= exp["ts_us"])]
+    exp = exp.sort_values(["event_id", "ts_us_r", "value"]).reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert got["event_id"].tolist() == exp["event_id"].tolist()
+    assert np.allclose(got["matched_ts_us"], exp["ts_us_r"])
+    assert np.allclose(got["matched_value"], exp["value"])
