@@ -393,6 +393,18 @@ def q_extract_invariant(sf_dir: str):
     )
 
 
+def q_top_per_group(sf_dir: str):
+    """Top-3 orders per customer by totalprice (windowed row_number idiom) —
+    keyed HASH_SHUFFLE + vectorized segment-rank, no per-group Python."""
+    from raysketch.pipeline.relational import top_k_per_group
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    out = top_k_per_group(
+        ds, "o_custkey", "o_totalprice", k=3, descending=True, tiebreak_col="o_orderkey"
+    )
+    return out.to_pandas()
+
+
 def q_top_orders(sf_dir: str):
     """Distributed sort + limit (top-k)."""
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
@@ -785,6 +797,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_agg": q_lineitem_agg,
         "ann_topk": q_ann_topk,
         "top_orders": q_top_orders,
+        "top_per_group": q_top_per_group,
         "distinct_langs": q_distinct_langs,
         "token_counts_global": q_token_counts_global,
         "heavy_hitters": q_heavy_hitters,
@@ -893,6 +906,11 @@ def oracle_sql() -> dict[str, str]:
         "top_orders": (
             "SELECT o_orderkey, o_totalprice FROM orders "
             "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+        ),
+        "top_per_group": (
+            "SELECT o_custkey, o_orderkey, o_totalprice FROM orders "
+            "QUALIFY row_number() OVER (PARTITION BY o_custkey "
+            "ORDER BY o_totalprice DESC, o_orderkey) <= 3"
         ),
         "distinct_langs": "SELECT DISTINCT lang FROM documents",
         "token_counts_global": (

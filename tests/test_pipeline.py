@@ -253,3 +253,30 @@ def test_job_entry_runs_and_resumes(corpus_dir, tmp_path):
     assert r2.returncode == 0, r2.stderr[-2000:]
     m2 = json.load(open(f"{out}/metrics.json"))
     assert m2["bloom"]["inserted"] == m["bloom"]["inserted"]  # identical filter
+
+
+def test_top_k_per_group(ray_session):
+    """top_k_per_group == pandas groupby-head oracle with the same ordering."""
+    import pandas as pd
+    import ray.data as rd
+
+    from raysketch.pipeline.relational import top_k_per_group
+
+    rng = np.random.default_rng(5)
+    n = 5000
+    tbl = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 200, n)),
+            "v": pa.array(rng.normal(size=n)),
+            "id": pa.array(np.arange(n, dtype=np.int64)),
+        }
+    )
+    got = (
+        top_k_per_group(rd.from_arrow(tbl).repartition(6), "k", "v", k=4, tiebreak_col="id")
+        .to_pandas()
+        .sort_values(["k", "v", "id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    df = tbl.to_pandas().sort_values(["k", "v", "id"], ascending=[True, False, True])
+    exp = df.groupby("k").head(4).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
