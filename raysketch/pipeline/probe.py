@@ -42,8 +42,11 @@ def _cached_sketch(blob_ref):
 
 
 # blobs at most this big probe via tasks (cheap per-worker deserialize); bigger
-# filters use an actor pool so the unpack cost is paid exactly once per actor
-_TASK_PROBE_MAX_BLOB = 64 << 20
+# filters use an actor pool: a capped pool unpacks once per actor AND bounds how
+# many unpacked bit arrays do concurrent random gathers (measured: 32 task
+# workers × a 46 MB unpacked filter saturated memory bandwidth and ran 3×
+# slower than 8 warm actors)
+_TASK_PROBE_MAX_BLOB = 1 << 20
 
 
 class SketchProber:
