@@ -246,7 +246,11 @@ def column_spans(col) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
             # hash as empty strings — same rule as the string/binary path.
             width = t.bit_width // 8
             bufs = col.buffers()
-            data = np.frombuffer(bufs[1], dtype=np.uint8)
+            data = (
+                np.frombuffer(bufs[1], dtype=np.uint8)
+                if bufs[1] is not None
+                else np.zeros((len(col) + col.offset) * width, np.uint8)  # all-null arrays may omit the buffer
+            )
             starts = (np.arange(len(col), dtype=np.int64) + col.offset) * width
             lengths = np.full(len(col), width, dtype=np.int64)
             if col.null_count:
