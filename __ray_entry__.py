@@ -215,32 +215,38 @@ def q_sessionize(sf_dir: str):
     return sessionize(ds, gap_s=1800).to_pandas()
 
 
-def q_semi_join(sf_dir: str):
-    """Exact broadcast semi-join: lineitems of orders with totalprice > 200000."""
-    from raysketch.pipeline.probe import exact_semi_join
+def _exact_join_keyset(sf_dir: str, ds, column: str, negate: bool, broadcast_limit: int = 5_000_000):
+    """Semi/anti join ``ds`` against the >200k-totalprice order keys with the
+    broadcast↔join auto-switch (mirrors ``exact_dedup(strategy="auto")``): under
+    ``broadcast_limit`` keys the sorted array broadcasts once via ``ray.put``;
+    beyond it the key side stays distributed and Ray's native ``left_semi`` /
+    ``left_anti`` hash join does the work."""
+    from raysketch.pipeline.probe import exact_semi_join, exact_semi_join_ds
 
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-    keys = [
-        r["o_orderkey"]
-        for r in orders.filter(expr="o_totalprice > 200000.0").take_all()
-    ]
+    keys_ds = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+        .filter(expr="o_totalprice > 200000.0")
+        .select_columns(["o_orderkey"])
+        .materialize()
+    )
+    if keys_ds.count() <= broadcast_limit:
+        keys = keys_ds.to_pandas()["o_orderkey"].to_numpy()
+        return exact_semi_join(ds, keys, column, negate=negate)
+    return exact_semi_join_ds(ds, keys_ds, column, key_column="o_orderkey", negate=negate)
+
+
+def q_semi_join(sf_dir: str):
+    """Exact semi-join: lineitems of orders with totalprice > 200000
+    (broadcast under 5M keys, native left_semi hash join beyond)."""
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
-    out = exact_semi_join(li, keys, "l_orderkey")
-    return out.to_pandas()
+    return _exact_join_keyset(sf_dir, li, "l_orderkey", negate=False).to_pandas()
 
 
 def q_anti_join(sf_dir: str):
-    """Exact broadcast anti-join: lineitems of orders with totalprice <= 200000."""
-    from raysketch.pipeline.probe import exact_semi_join
-
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-    keys = [
-        r["o_orderkey"]
-        for r in orders.filter(expr="o_totalprice > 200000.0").take_all()
-    ]
+    """Exact anti-join: lineitems of orders with totalprice <= 200000
+    (broadcast under 5M keys, native left_anti hash join beyond)."""
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
-    out = exact_semi_join(li, keys, "l_orderkey", negate=True)
-    return out.to_pandas()
+    return _exact_join_keyset(sf_dir, li, "l_orderkey", negate=True).to_pandas()
 
 
 def q_lineitem_agg(sf_dir: str):
@@ -451,12 +457,16 @@ def q_dedup_incremental(sf_dir: str):
     )
 
 
-def _bloom_membership_setup(sf_dir: str):
+def _bloom_membership_setup(sf_dir: str, broadcast_limit: int = 5_000_000):
     """Shared build + labeled-probe-set prep for the membership queries: build the
     partitioned Bloom over lineitem orderkeys, then label the orders keys with
-    the exact oracle (sorted-unique numpy array broadcast ONCE via ray.put,
-    vectorized searchsorted per batch — never a per-row Python `in` loop)."""
+    the exact oracle. The distinct key set is computed DISTRIBUTED (native
+    groupby count — the full key column never visits the driver, VERDICT r2
+    item 3); under ``broadcast_limit`` distinct keys the sorted array broadcasts
+    once via ``ray.put`` for a vectorized searchsorted label stage, beyond it
+    the labels come from a left-outer hash join against the distinct keys."""
     import ray
+    from ray.data.aggregate import Count
 
     from raysketch.pipeline.partitioned import build_partitioned_bloom
 
@@ -465,23 +475,38 @@ def _bloom_membership_setup(sf_dir: str):
     pb, lineage = build_partitioned_bloom(li, "l_orderkey", capacity=max(n, 1), num_shards=32)
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
 
-    parts = []
-    for b in li.iter_batches(batch_size=262_144, batch_format="pyarrow"):
-        parts.append(np.unique(np.asarray(b.column("l_orderkey"))))
-    li_keys = np.unique(np.concatenate(parts)) if parts else np.empty(0, dtype=np.int64)
-    keys_ref = ray.put(li_keys)
+    distinct = li.groupby("l_orderkey").aggregate(Count(alias_name="__n")).materialize()
+    if distinct.count() <= broadcast_limit:
+        li_keys = np.sort(distinct.to_pandas()["l_orderkey"].to_numpy().astype(np.int64))
+        keys_ref = ray.put(li_keys)
 
-    def label2(batch: pa.Table) -> pa.Table:
-        lk = ray.get(keys_ref)
-        keys = np.asarray(batch.column("o_orderkey"))
-        if len(lk) == 0:
-            isin = np.zeros(len(keys), dtype=bool)
-        else:
-            idx = np.clip(np.searchsorted(lk, keys), 0, len(lk) - 1)
-            isin = lk[idx] == keys
-        return pa.table({"l_orderkey": pa.array(keys), "is_positive": pa.array(isin)})
+        def label2(batch: pa.Table) -> pa.Table:
+            lk = ray.get(keys_ref)
+            keys = np.asarray(batch.column("o_orderkey"))
+            if len(lk) == 0:
+                isin = np.zeros(len(keys), dtype=bool)
+            else:
+                idx = np.clip(np.searchsorted(lk, keys), 0, len(lk) - 1)
+                isin = lk[idx] == keys
+            return pa.table({"l_orderkey": pa.array(keys), "is_positive": pa.array(isin)})
 
-    probe_ds = orders.map_batches(label2, batch_format="pyarrow")
+        probe_ds = orders.map_batches(label2, batch_format="pyarrow")
+    else:
+        joined = orders.select_columns(["o_orderkey"]).join(
+            distinct.rename_columns({"l_orderkey": "o_orderkey"}),
+            "left_outer",
+            max(8, min(32, int(ray.cluster_resources().get("CPU", 8)))),
+            on=("o_orderkey",),
+        )
+        probe_ds = joined.map_batches(
+            lambda b: pa.table(
+                {
+                    "l_orderkey": b.column("o_orderkey"),
+                    "is_positive": pc.is_valid(b.column("__n")),
+                }
+            ),
+            batch_format="pyarrow",
+        )
     return pb, probe_ds
 
 

@@ -103,17 +103,29 @@ def build_keyed_sketch(
     """
 
     def partial(batch: pa.Table) -> pa.Table:
+        # argsort + segment bounds (like merge_block below): O(n log n) total,
+        # one zero-copy slice per distinct key — NOT a full-length boolean mask
+        # per key, which is O(n·distinct) and degrades at high key cardinality
+        # (url-host keys), VERDICT r2 item 4
         keys = batch.column(key).combine_chunks()
         col = batch.column(column).combine_chunks()
         karr = np.asarray(keys)
         out_k, out_s, out_n = [], [], []
-        for kv in np.unique(karr):
-            mask = karr == kv
-            sk = make_sketch()
-            update(sk, col.filter(pa.array(mask)))
-            out_k.append(str(kv))
-            out_s.append(sk.to_bytes())
-            out_n.append(int(mask.sum()))
+        if len(karr):
+            order = np.argsort(karr, kind="stable")
+            ks = karr[order]
+            new_k = np.empty(len(ks), dtype=bool)
+            new_k[0] = True
+            np.not_equal(ks[1:], ks[:-1], out=new_k[1:])
+            bounds = np.append(np.nonzero(new_k)[0], len(ks))
+            sorted_col = col.take(pa.array(order))
+            for j in range(len(bounds) - 1):
+                lo, hi = int(bounds[j]), int(bounds[j + 1])
+                sk = make_sketch()
+                update(sk, sorted_col.slice(lo, hi - lo))
+                out_k.append(str(ks[lo]))
+                out_s.append(sk.to_bytes())
+                out_n.append(hi - lo)
         return pa.table(
             {key: pa.array(out_k, type=pa.string()), "state": pa.array(out_s, type=pa.binary()), "rows_in": pa.array(out_n, type=pa.int64())}
         )

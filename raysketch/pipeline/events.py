@@ -188,14 +188,14 @@ def asof_join(
     ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     parts = both.repartition(num_blocks=max(8, min(64, ncpu * 2)), keys=["__key"])
 
-    # matched_* are float64 with NaN for unmatched rows — a SQL LEFT-join NULL
-    # lands as NaN in a pandas float column, so the driver's equal_nan compare
-    # lines up exactly
+    # matched_ts_us is a NULLABLE int64 (precision-true past 2^53 µs — far-future
+    # or sentinel timestamps survive exactly); matched_value stays float64 with
+    # NaN so a SQL LEFT-join NULL lands as NaN in a pandas float column
     out_schema = {
         left_id_col: pa.int64(),
         key_col: pa.int64(),
         "ts_us": pa.int64(),
-        "matched_ts_us": pa.float64(),
+        "matched_ts_us": pa.int64(),
         "matched_value": pa.float64(),
     }
 
@@ -221,14 +221,14 @@ def asof_join(
         c = cand[li]
         valid = c >= seg_start[li]
         csafe = np.where(valid, c, 0)
-        matched_ts = np.where(valid, ts[csafe].astype(np.float64), np.nan)
+        matched_ts = pa.array(ts[csafe], pa.int64(), mask=~valid)  # null if unmatched
         matched_val = np.where(valid, val[csafe], np.nan)
         return pa.table(
             {
                 left_id_col: pa.array(lid[li]),
                 key_col: pa.array(key[li]),
                 "ts_us": pa.array(ts[li]),
-                "matched_ts_us": pa.array(matched_ts),
+                "matched_ts_us": matched_ts,
                 "matched_value": pa.array(matched_val),
             }
         )

@@ -333,6 +333,21 @@ class BroadcastSetSemiJoin:
         return batch.filter(pa.array(hit))
 
 
+def exact_semi_join_ds(ds, keys_ds, column: str, key_column: str | None = None, negate: bool = False, num_partitions: int | None = None):
+    """Exact semi/anti join against a DISTRIBUTED key set — the regime where the
+    key side no longer fits a broadcast array. Uses Ray's native hash
+    ``left_semi`` / ``left_anti`` join: one exchange, no marker columns, and the
+    key side needs no pre-dedup (semi/anti semantics never fan out)."""
+    if key_column is None:
+        key_column = column
+    if num_partitions is None:
+        num_partitions = max(4, min(32, int(ray.cluster_resources().get("CPU", 8)))) if ray.is_initialized() else 8
+    keys = keys_ds.select_columns([key_column])
+    if key_column != column:
+        keys = keys.rename_columns({key_column: column})
+    return ds.join(keys, "left_anti" if negate else "left_semi", num_partitions, on=(column,))
+
+
 def exact_semi_join(ds, keys, column: str, negate: bool = False, concurrency=None):
     """Exact semi (or anti) join of ``ds`` against a broadcast small key collection.
 

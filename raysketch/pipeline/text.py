@@ -103,15 +103,18 @@ class LangIdStage:
     Fully vectorized batch path (no ``to_pylist``, no per-row regex): Arrow
     ``utf8_lower`` → one xxh64 pass over all whitespace tokens of the batch
     (``_token_hashes``) → binary-search lookup against the hashed marker table →
-    per-(doc, lang) scores via 1-D cumsum segment sums → argmax. Ties and
-    zero-score docs resolve exactly as the scalar version (first language wins;
-    no hits → "und")."""
+    per-(doc, lang) scores via 1-D cumsum segment sums → argmax. Only the first
+    ``max_tokens`` tokens of each document are scored (bounded per-doc cost on
+    arbitrarily long web documents — positions past the cap are masked out
+    before the cumsum). Ties and zero-score docs resolve exactly as the scalar
+    version (first language wins; no hits → "und")."""
 
-    def __init__(self, col: str = "text", out: str = "lang_pred"):
+    def __init__(self, col: str = "text", out: str = "lang_pred", max_tokens: int = 200):
         from raysketch.hashing import xxh64_scalar
 
         self.col = col
         self.out = out
+        self.max_tokens = int(max_tokens)
         self.langs = list(_LANG_MARKERS)
         hashes, lidx = [], []
         for li, words in enumerate(_LANG_MARKERS.values()):
@@ -134,6 +137,10 @@ class LangIdStage:
             return batch.append_column(self.out, pa.array(["und"] * ndoc, pa.string()))
         idx = np.clip(np.searchsorted(self.marker_h, th), 0, len(self.marker_h) - 1)
         lang_of = np.where(self.marker_h[idx] == th, self.marker_lang[idx], -1)
+        # cap: only the first max_tokens tokens of each doc contribute a score
+        d = np.diff(doc_offs)
+        pos_in_doc = np.arange(len(th), dtype=np.int64) - np.repeat(doc_offs[:-1], d)
+        lang_of = np.where(pos_in_doc < self.max_tokens, lang_of, -1)
         best_score = np.zeros(ndoc, dtype=np.int64)
         best_lang = np.full(ndoc, -1, dtype=np.int64)
         cs = np.empty(len(th) + 1, dtype=np.int64)

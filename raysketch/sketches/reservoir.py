@@ -1,11 +1,13 @@
 """Mergeable uniform reservoir sample (size k).
 
 Absent in the reference; standard for a distributed sketch library: per-block
-Algorithm R (Vitter 1985) partials, merged with the weighted-merge rule that
-keeps the union sample uniform — when merging reservoirs R1 (seen n1) and R2
-(seen n2), each output slot draws from R1 with probability n1/(n1+n2), sampling
-WITHOUT replacement inside each side. Uniformity over any partition/merge tree
-follows by induction (each stream item ends in the final reservoir w.p. k/N).
+Algorithm R (Vitter 1985) partials, merged with the exact hypergeometric split —
+when merging reservoirs R1 (seen n1) and R2 (seen n2), the number of output
+slots taken from R1 is Hypergeometric(n1+n2, n1, k_out), then each side is
+sampled WITHOUT replacement. That is exactly the distribution of "how many of a
+uniform k_out-subset of the union fall in stream 1", so uniformity over any
+partition/merge tree follows by induction (each stream item ends in the final
+reservoir w.p. k_out/N), including merges of partially-filled reservoirs.
 
 Randomness is a seeded per-instance Philox generator; a build over a fixed block
 layout with fixed seeds is reproducible. Values are stored as Python scalars
@@ -63,9 +65,15 @@ class ReservoirSample:
             self.n_seen = n2
             return self
         k_out = min(self.k, n1 + n2)
-        take1 = self.rng.binomial(k_out, n1 / (n1 + n2))
-        take1 = min(take1, len(self.items))
-        take2 = min(k_out - take1, len(other.items))
+        # exact hypergeometric split: choosing how many of the k_out output slots
+        # come from stream 1 as Hypergeometric(n1+n2, n1, k_out) makes the merged
+        # reservoir a uniform k_out-subset of the union for ANY fill levels —
+        # including partially-filled inputs (n_i < k), where the old binomial
+        # draw needed clamping and produced undersized/biased merges. The
+        # hypergeometric support guarantees take1 <= min(k_out, n1) = len(items)
+        # and take2 <= min(k_out, n2), so no clamping is ever needed.
+        take1 = int(self.rng.hypergeometric(n1, n2, k_out))
+        take2 = k_out - take1
         pick1 = self.rng.choice(len(self.items), size=take1, replace=False)
         pick2 = self.rng.choice(len(other.items), size=take2, replace=False)
         self.items = [self.items[i] for i in pick1] + [other.items[i] for i in pick2]
