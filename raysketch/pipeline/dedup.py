@@ -839,25 +839,43 @@ def embedding_cosine_dedup(
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
-    n_planes: int = 16,
+    n_planes: int = 8,
+    bands: int = 8,
     seed: int = 5,
     as_dataset: bool = False,
 ):
-    """Near-dup clusters among embeddings: random-hyperplane LSH bucket key, hot
-    buckets via native count, distributed pair emission, candidate vectors
-    attached via Bloom-prefiltered hash joins, exact cosine ≥ threshold verify
-    vectorized in ``map_batches``, distributed min-label clustering. Output
-    column names are (doc_id, cluster_id) for uniformity."""
+    """Near-dup clusters among embeddings: BANDED random-hyperplane LSH (a pair
+    is a candidate if it agrees on all ``n_planes`` planes of ANY band —
+    single-bucket keying misses any near-identical pair a lone hyperplane
+    happens to split; with 8×8 banding the miss probability for a pair at
+    cosine c is ``(1-(1-θ/π)^8)^8``, θ=arccos(c) — ≈1e-11 for near-identical
+    pairs, ~1% at threshold 0.95), hot buckets via native count, distributed
+    pair emission (multi-band duplicates deduped by the native (a,b) groupby),
+    candidate vectors attached via Bloom-prefiltered hash joins, exact
+    cosine ≥ threshold verify vectorized in ``map_batches`` (LSH affects recall,
+    never precision), distributed min-label clustering. Output column names are
+    (doc_id, cluster_id) for uniformity.
+
+    Scale note: per-band bucket count is 2^n_planes — raise ``n_planes`` (and
+    ``bands`` to hold recall) as the corpus grows so expected bucket size stays
+    bounded; degenerate buckets are truncated at ``max_bucket`` in the pair
+    emitter either way."""
 
     def bucket(batch: pa.Table) -> pa.Table:
         V = embedding_matrix(batch.column(emb_col)).astype(np.float64)
         d = V.shape[1]
-        P = np.random.default_rng(seed).normal(size=(d, n_planes))
+        P = np.random.default_rng(seed).normal(size=(d, n_planes * bands))
         signs = (V @ P) > 0
-        key = np.zeros(len(V), dtype=np.int64)
-        for b in range(n_planes):
-            key |= signs[:, b].astype(np.int64) << b
-        return pa.table({"key": pa.array(key), id_col: batch.column(id_col)})
+        keys = np.empty((len(V), bands), dtype=np.int64)
+        for bd in range(bands):
+            k = np.zeros(len(V), dtype=np.int64)
+            for b in range(n_planes):
+                k |= signs[:, bd * n_planes + b].astype(np.int64) << b
+            keys[:, bd] = k | (np.int64(bd + 1) << np.int64(48))
+        ids = np.asarray(batch.column(id_col))
+        return pa.table(
+            {"key": pa.array(keys.ravel()), id_col: pa.array(np.repeat(ids, bands))}
+        )
 
     band_rows = ds.select_columns([id_col, emb_col]).map_batches(
         bucket, batch_format="pyarrow", zero_copy_batch=True

@@ -33,18 +33,35 @@ MEDIA_SCHEMA = pa.schema(
 
 
 def gen_media_table(rows: int = 256, seed: int = 11) -> pa.Table:
-    """Deterministic fake media fixture (payload = seeded bytes)."""
-    rng = np.random.default_rng(seed)
-    types = np.array(["image", "audio", "video"])[rng.integers(0, 3, rows)]
-    payloads = [rng.integers(0, 256, size=int(rng.integers(64, 512)), dtype=np.uint8).tobytes() for _ in range(rows)]
+    """Deterministic fake media fixture. Every metadata field is a CLOSED-FORM
+    function of ``media_id`` so an ANSI-SQL oracle can reproduce the table
+    exactly (the driver's correctness gate):
+
+    - ``media_type  = ['image','audio','video'][i % 3]``
+    - ``width       = 16 + (i*37) % 240``, ``height = 16 + (i*53) % 240``
+    - ``duration_ms = (i*211) % 10000``
+    - ``payload``    = ``64 + (i*97) % 448`` bytes, byte j = ``(i*8191 + j*127 + seed) % 256``
+    """
+    i = np.arange(rows, dtype=np.int64)
+    types = np.array(["image", "audio", "video"])[i % 3]
+    plen = (64 + (i * 97) % 448).astype(np.int64)
+    offsets = np.zeros(rows + 1, dtype=np.int64)
+    np.cumsum(plen, out=offsets[1:])
+    total = int(offsets[-1])
+    row_of = np.repeat(i, plen)
+    j = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], plen)
+    flat = ((row_of * 8191 + j * 127 + seed) % 256).astype(np.uint8)
+    payload = pa.Array.from_buffers(
+        pa.binary(), rows, [None, pa.py_buffer(offsets.astype(np.int32)), pa.py_buffer(flat)]
+    )
     return pa.table(
         {
-            "media_id": pa.array(np.arange(rows, dtype=np.int64)),
+            "media_id": pa.array(i),
             "media_type": pa.array(types.tolist()),
-            "payload": pa.array(payloads, type=pa.binary()),
-            "width": pa.array(rng.integers(16, 256, rows).astype(np.int32)),
-            "height": pa.array(rng.integers(16, 256, rows).astype(np.int32)),
-            "duration_ms": pa.array(rng.integers(0, 10000, rows).astype(np.int32)),
+            "payload": payload,
+            "width": pa.array((16 + (i * 37) % 240).astype(np.int32)),
+            "height": pa.array((16 + (i * 53) % 240).astype(np.int32)),
+            "duration_ms": pa.array(((i * 211) % 10000).astype(np.int32)),
         }
     )
 
