@@ -34,6 +34,20 @@ import time
 REPLICATE = 8  # lineitem sf0.1 × 8 = 4.8M rows for the build phase
 
 
+def _quota_probe_ms() -> float:
+    """Host-quota index: wall time of a 10M-element numpy multiply (~40 ms on
+    unthrottled hardware; 10-50x that when the sandbox CPU-quota bucket is
+    drained). Recorded in every BENCH JSON so cross-round ratios are
+    interpretable without reading the BASELINE prose."""
+    import numpy as np
+
+    x = np.arange(10_000_000, dtype=np.float64)
+    t0 = time.perf_counter()
+    y = x * 1.0000001
+    float(y[-1])
+    return round((time.perf_counter() - t0) * 1000, 1)
+
+
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
     import ray
 
@@ -181,11 +195,13 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     best: dict[str, float] = {}
     extras: dict[str, float] = {}
+    extras["quota_probe_ms"] = _quota_probe_ms()
     for _ in range(trials):
         timings, ex = one_round()
         extras.update(ex)
         for k, v in timings.items():
             best[k] = min(best.get(k, float("inf")), v)
+    extras["quota_probe_ms_end"] = _quota_probe_ms()
 
     extras["bloom_build_rows"] = n_rows
     extras["bloom_build_rows_per_sec"] = round(n_rows / best["bloom_build"], 1)

@@ -175,6 +175,85 @@ def load_partitioned_bloom(ckpt_dir: str) -> tuple[PartitionedBloom, pa.Table]:
     return pb, lineage
 
 
+def _key_shard_ids(key_col: pa.Array, num_shards: int) -> np.ndarray:
+    """Stable shard id per key: xxh64 of the key's STRING form (the same form
+    ``build_keyed_sketch`` emits), mod num_shards."""
+    import pyarrow.compute as pc
+
+    from raysketch.hashing import hash_column
+
+    s = pc.cast(key_col.combine_chunks() if isinstance(key_col, pa.ChunkedArray) else key_col, pa.string())
+    return (hash_column(s, algo="xxh64", seed=0) % np.uint64(num_shards)).astype(np.int32)
+
+
+def checkpointed_keyed_sketch(
+    ds,
+    key: str,
+    column: str,
+    make_sketch,
+    ckpt_dir: str,
+    num_shards: int = 16,
+    input_files: list[str] | None = None,
+) -> pa.Table:
+    """Build (or resume) a per-KEY sketch table with per-key-shard checkpoints.
+
+    Keys hash into ``num_shards`` resumable units; a resumed run filters input
+    rows to UNFINISHED key-shards before the partial stage (finished shards cost
+    zero input scan work past the filter), rebuilds only those, and returns the
+    assembled ``(key, state, rows_in)`` table. Shard files are written atomically;
+    the keyed result is small by construction (one fixed-size blob per key), so
+    the shard write happens where the table already lives after the two-level
+    build. Same layout discipline as ``checkpointed_partitioned_bloom``."""
+    from raysketch.pipeline.build import build_keyed_sketch
+
+    os.makedirs(ckpt_dir, exist_ok=True)
+    probe = make_sketch()
+    manifest_path = os.path.join(ckpt_dir, "manifest.json")
+    params = {
+        "key": key,
+        "column": column,
+        "num_shards": num_shards,
+        "sketch_kind": getattr(probe, "kind", type(probe).__name__),
+        "input_files": input_files or [],
+    }
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            prev = json.load(f)
+        if {k: prev.get(k) for k in params if k != "input_files"} != {
+            k: v for k, v in params.items() if k != "input_files"
+        }:
+            raise ValueError(f"checkpoint {ckpt_dir} was built with different parameters")
+    else:
+        with open(manifest_path, "w") as f:
+            json.dump(params, f, indent=2, sort_keys=True)
+
+    done = finished_shards(ckpt_dir)
+    missing = sorted(set(range(num_shards)) - done)
+    if missing:
+        missing_arr = np.array(missing, dtype=np.int32)
+
+        def filt(batch: pa.Table) -> pa.Table:
+            sid = _key_shard_ids(batch.column(key), num_shards)
+            return batch.filter(pa.array(np.isin(sid, missing_arr)))
+
+        sub = ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
+        tbl = build_keyed_sketch(sub, key, column, make_sketch)
+        sid = (
+            _key_shard_ids(tbl.column(key), num_shards)
+            if tbl.num_rows
+            else np.empty(0, dtype=np.int32)
+        )
+        for s in missing:
+            part = tbl.filter(pa.array(sid == s)) if tbl.num_rows else tbl
+            part = part.append_column("shard", pa.array(np.full(part.num_rows, s, dtype=np.int32)))
+            _atomic_write_table(part, _shard_path(ckpt_dir, s))
+
+    parts = [pq.read_table(_shard_path(ckpt_dir, s)) for s in range(num_shards)]
+    out = pa.concat_tables(parts).drop_columns(["shard"])
+    order = pa.compute.sort_indices(out.column(key))
+    return out.take(order)
+
+
 def save_sketch(sketch, path: str) -> None:
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "wb") as f:

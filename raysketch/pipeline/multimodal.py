@@ -1,10 +1,16 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` + typed metadata.
 
-The decode step is STUBBED (image/audio libraries are not in this container — task
-mandate): ``decode=`deterministic_fake``` produces a seeded fake decode so the
-Ray-side plumbing (schema, batch sizing, actor-pool signature, output layout) is
-real and tested; ``decode="strict"`` raises NotImplementedError at the exact point
-a real decoder (PIL/libsndfile/ffmpeg) would plug in.
+Decode modes (the image/audio libraries are not in this container — task
+mandate):
+
+- ``decode="deterministic_fake"`` — seeded fake decode; the Ray-side plumbing
+  (schema, batch sizing, actor-pool signature, output layout) is real and tested.
+- ``decode="auto"`` — use a REAL decoder (PIL for images) when importable in the
+  worker environment, falling back to the deterministic fake otherwise; makes
+  the stage production-real on clusters that ship codecs without breaking this
+  sandbox. The import probe happens ONCE per actor in ``__init__``.
+- ``decode="strict"`` — raise NotImplementedError at the exact point a real
+  decoder (PIL/libsndfile/ffmpeg) would plug in.
 
 Design notes for 100 TB: binary payloads dominate block size — stages here use
 small ``batch_size`` (the caller should also raise ``target_max_block_size`` if
@@ -75,13 +81,40 @@ class DecodeAndFeaturize:
     stable across retries/partitioning (required for checkpoint determinism)."""
 
     def __init__(self, feat_dim: int = 32, decode: str = "deterministic_fake"):
-        if decode not in ("deterministic_fake", "strict"):
-            raise ValueError("decode must be 'deterministic_fake' or 'strict'")
+        if decode not in ("deterministic_fake", "strict", "auto"):
+            raise ValueError("decode must be 'deterministic_fake', 'auto' or 'strict'")
         self.feat_dim = feat_dim
         self.decode = decode
-        # a real implementation would do: self.model = load_model(...); here the
-        # per-actor state is the per-dimension seed vector
+        # codec/model probe happens once per ACTOR (the model-load-in-__init__
+        # pattern); "auto" degrades to the deterministic fake when no codec ships
+        self.pil = None
+        if decode == "auto":
+            try:
+                from PIL import Image  # noqa: F401
+
+                self.pil = Image
+            except ImportError:
+                self.pil = None
         self.seeds = np.arange(feat_dim, dtype=np.uint64)
+
+    def _real_image_features(self, payloads: list[bytes]) -> np.ndarray:
+        """Real decode path (exercised only where PIL is installed): decode, grey,
+        resize to a feat_dim-pixel strip, normalized intensities as features."""
+        import io
+
+        feats = np.empty((len(payloads), self.feat_dim), dtype=np.float32)
+        for i, raw in enumerate(payloads):
+            img = self.pil.open(io.BytesIO(raw)).convert("L").resize((self.feat_dim, 1))
+            feats[i] = np.asarray(img, dtype=np.float32).ravel() / 255.0
+        return feats
+
+    def _fake_features(self, payload: pa.Array) -> np.ndarray:
+        data, starts, lengths = column_spans(payload)
+        feats = np.empty((len(payload), self.feat_dim), dtype=np.float32)
+        for d in range(self.feat_dim):
+            h = xxh64_vec(data, starts, lengths, int(self.seeds[d]))
+            feats[:, d] = (h >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+        return feats
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.decode == "strict":
@@ -89,11 +122,15 @@ class DecodeAndFeaturize:
                 "real media decode requires PIL/libsndfile/ffmpeg, absent in this environment"
             )
         payload = batch.column("payload").combine_chunks()
-        data, starts, lengths = column_spans(payload)
-        feats = np.empty((len(payload), self.feat_dim), dtype=np.float32)
-        for d in range(self.feat_dim):
-            h = xxh64_vec(data, starts, lengths, int(self.seeds[d]))
-            feats[:, d] = (h >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+        if self.pil is not None:
+            mtype = np.asarray(batch.column("media_type").combine_chunks())
+            feats = self._fake_features(payload)
+            img_rows = np.nonzero(mtype == "image")[0]
+            if len(img_rows):
+                img_feats = self._real_image_features([payload[int(i)].as_py() for i in img_rows])
+                feats[img_rows] = img_feats
+        else:
+            feats = self._fake_features(payload)
         out = batch.drop_columns(["payload"])  # payload dropped at first opportunity
         return out.append_column("features", pa.array(list(feats)))
 
@@ -123,11 +160,19 @@ class FrameSampleStage:
     Non-video rows pass through with a single frame (frame_idx 0)."""
 
     def __init__(self, every_ms: int = 1000, frame_bytes: int = 32, decode: str = "deterministic_fake"):
-        if decode not in ("deterministic_fake", "strict"):
-            raise ValueError("decode must be 'deterministic_fake' or 'strict'")
+        if decode not in ("deterministic_fake", "strict", "auto"):
+            raise ValueError("decode must be 'deterministic_fake', 'auto' or 'strict'")
         self.every_ms = int(every_ms)
         self.frame_bytes = int(frame_bytes)
         self.decode = decode
+        self.ffmpeg = None
+        if decode == "auto":
+            import shutil
+
+            # probe once per actor; a real implementation would popen ffmpeg
+            # per batch here — this sandbox ships no codecs, so auto degrades
+            # to the deterministic fake (fan-out/schema identical either way)
+            self.ffmpeg = shutil.which("ffmpeg")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.decode == "strict":

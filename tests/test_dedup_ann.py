@@ -182,6 +182,61 @@ def test_multimodal_plumbing(ray_session):
         DecodeAndFeaturize(decode="strict")(tbl.slice(0, 4))
 
 
+def _has_pil() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_media_decode_auto_fallback():
+    """decode='auto' with no codecs installed must equal the deterministic fake
+    (this container ships no PIL/ffmpeg — the real path is skip-tested below)."""
+    if _has_pil():
+        pytest.skip("PIL present — fallback path not reachable")
+    tbl = gen_media_table(32)
+    auto = DecodeAndFeaturize(feat_dim=8, decode="auto")(tbl)
+    fake = DecodeAndFeaturize(feat_dim=8)(tbl)
+    assert auto.equals(fake)
+
+
+@pytest.mark.skipif(not _has_pil(), reason="real decode path needs PIL")
+def test_media_decode_auto_real_path():
+    """On codec-equipped clusters decode='auto' must really decode image rows:
+    features of a solid-grey PNG are its normalized intensity."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("L", (16, 16), color=128).save(buf, format="PNG")
+    tbl = pa.table(
+        {
+            "media_id": pa.array([0], pa.int64()),
+            "media_type": pa.array(["image"]),
+            "payload": pa.array([buf.getvalue()], pa.binary()),
+            "width": pa.array([16], pa.int32()),
+            "height": pa.array([16], pa.int32()),
+            "duration_ms": pa.array([0], pa.int32()),
+        }
+    )
+    out = DecodeAndFeaturize(feat_dim=8, decode="auto")(tbl)
+    feats = np.asarray(out.column("features")[0].as_py())
+    assert np.allclose(feats, 128 / 255.0, atol=0.02)
+
+
+def test_gen_media_table_closed_form():
+    """Fixture fields must stay closed-form functions of media_id — the SQL
+    oracle for the media queries reproduces them from range()."""
+    t = gen_media_table(64)
+    i = np.arange(64)
+    assert np.array_equal(np.asarray(t.column("width")), (16 + (i * 37) % 240).astype(np.int32))
+    assert np.array_equal(np.asarray(t.column("duration_ms")), ((i * 211) % 10000).astype(np.int32))
+    assert t.column("media_type").to_pylist() == [["image", "audio", "video"][k % 3] for k in range(64)]
+
+
 def test_tumbling_window_matches_pandas(ray_session):
     import ray.data as rd
 

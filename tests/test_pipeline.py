@@ -189,6 +189,49 @@ def test_checkpoint_resume_identity(corpus_dir, tmp_path, ray_session):
         checkpointed_partitioned_bloom(ds, "url", N_ROWS, ck, num_shards=32)
 
 
+def test_checkpointed_keyed_sketch_resume_identity(corpus_dir, tmp_path, ray_session):
+    """Keyed (per-lang) HLL build with per-key-shard checkpoints: a resumed run
+    rebuilds ONLY the sabotaged key-shards and the assembled table is identical
+    (HLL merge is order-invariant, so partial rebuilds are bitwise-stable)."""
+    from raysketch.pipeline.checkpoint import checkpointed_keyed_sketch
+
+    ds = _read(corpus_dir, columns=["lang", "url"])
+    ck = str(tmp_path / "keyed_ckpt")
+    t1 = checkpointed_keyed_sketch(ds, "lang", "url", lambda: HyperLogLog(12), ck, num_shards=8)
+    assert len(finished_shards(ck)) == 8
+    for sid in (1, 5):
+        os.remove(os.path.join(ck, f"shard-{sid:05d}.parquet"))
+    assert len(finished_shards(ck)) == 6
+    t2 = checkpointed_keyed_sketch(ds, "lang", "url", lambda: HyperLogLog(12), ck, num_shards=8)
+    assert t2.equals(t1)
+    with pytest.raises(ValueError):
+        checkpointed_keyed_sketch(ds, "lang", "url", lambda: HyperLogLog(12), ck, num_shards=16)
+
+
+def test_build_keyed_sketch_high_cardinality(ray_session):
+    """10k distinct keys (the url-host regime): the partial stage must stay
+    O(n log n) — argsort + segment bounds, not a boolean mask per key — and
+    produce one correct blob per key."""
+    import ray.data as rd
+
+    n, n_keys = 30_000, 10_000
+    tbl = pa.table(
+        {
+            "host": pa.array([f"host{i % n_keys}" for i in range(n)]),
+            "v": pa.array([f"u{i}" for i in range(n)]),
+        }
+    )
+    out = build_keyed_sketch(
+        rd.from_arrow(tbl).repartition(4), "host", "v", lambda: HyperLogLog(12)
+    )
+    assert out.num_rows == n_keys
+    rows_in = np.asarray(out.column("rows_in"))
+    assert (rows_in == 3).all()  # every host saw exactly 3 rows
+    sk = sketch_table_to_dict(out.slice(0, 5), "host")
+    for v in sk.values():
+        assert abs(v.estimate() - 3) < 0.5  # 3 distinct values per key
+
+
 def test_cms_distributed_bitwise(corpus_dir, ray_session):
     ds = _read(corpus_dir, columns=["lang"])
     cms = build_sketch(ds, "lang", lambda: CountMinSketch(width=1024, depth=4))

@@ -503,6 +503,30 @@ def test_reservoir_uniformity_and_merge():
     assert rt.sample() == r.sample() and rt.n_seen == r.n_seen
 
 
+def test_reservoir_merge_partial_fill():
+    """ADVICE r2 scenario: merging two PARTIALLY-FILLED reservoirs (10+10 items,
+    k=16) must always produce min(k, n1+n2) = 16 distinct items with uniform
+    inclusion — the old clamped-binomial merge undersized ~10% of such merges."""
+    import pyarrow as pa
+
+    from raysketch.sketches.reservoir import ReservoirSample
+
+    k = 16
+    counts = np.zeros(20)
+    for seed in range(300):
+        r1 = ReservoirSample(k, seed=seed)
+        r1.update_column(pa.array(np.arange(10, dtype=np.int64)))
+        r2 = ReservoirSample(k, seed=seed + 1000)
+        r2.update_column(pa.array(np.arange(10, 20, dtype=np.int64)))
+        r1.merge(r2)
+        s = r1.sample()
+        assert len(s) == 16 and len(set(s)) == 16
+        assert r1.n_seen == 20
+        counts[np.array(s)] += 1
+    frac = counts / counts.sum()
+    assert np.all(np.abs(frac - 1 / 20) < 0.01), frac  # ~4σ band
+
+
 def test_bloom_patterned_invariants():
     """Patterned (mask-table) variant, bloom_filters.h:354-536 semantics: one
     precomputed k-bit mask per item — no false negatives, reasonable FPR, and
