@@ -174,7 +174,15 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         with timed("dedup_exact"):
             exact_dedup(rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])).count()
         with timed("minhash_dedup"):
-            minhash_lsh_dedup(rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
+            clusters = minhash_lsh_dedup(
+                rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+            )
+        # raw-corpus cluster count: regression evidence that verify-kernel
+        # changes leave the clustering bitwise-unchanged round over round
+        extras["minhash_clusters"] = int(
+            len(np.unique(np.asarray(clusters.column("cluster_id"))))
+        )
+        extras["minhash_clustered_docs"] = int(clusters.num_rows)
         with timed("ann_topk"):
             emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
             q = np.stack([np.asarray(r["embedding"], dtype=np.float32) for r in emb.take(8)])

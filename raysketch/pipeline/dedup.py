@@ -206,47 +206,63 @@ def _word_shingle_hashes(texts: pa.Array, k: int = 3) -> tuple[np.ndarray, np.nd
     return out, out_offs
 
 
-def _segment_sorted_unique(h: np.ndarray, offs: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Sort + dedupe every segment of a ragged array in ONE lexsort pass (no
-    per-segment Python). Returns ``(values, seg_ids, per_segment_unique_counts)``."""
-    nseg = len(offs) - 1
-    d = np.diff(offs)
-    seg = np.repeat(np.arange(nseg, dtype=np.int64), d)
-    if len(h) == 0:
-        return h, seg, np.zeros(nseg, dtype=np.int64)
-    order = np.lexsort((h, seg))
-    hs, ss = h[order], seg[order]
-    keep = np.empty(len(hs), dtype=bool)
-    keep[0] = True
-    keep[1:] = (hs[1:] != hs[:-1]) | (ss[1:] != ss[:-1])
-    hu, su = hs[keep], ss[keep]
-    return hu, su, np.bincount(su, minlength=nseg)
+_PAIR_SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
-def _pairwise_jaccard(ha: np.ndarray, oa: np.ndarray, hb: np.ndarray, ob: np.ndarray) -> np.ndarray:
-    """Exact set-Jaccard of segment i of (ha, oa) vs segment i of (hb, ob) for all
-    i — ZERO per-pair Python (VERDICT r2 item 2): each side is segment-sorted and
-    deduped in one lexsort, both sides are merged in one more lexsort, and the
-    per-pair intersection sizes are adjacent-equal counts binned by segment."""
+def _pairwise_jaccard(
+    ha: np.ndarray, oa: np.ndarray, hb: np.ndarray, ob: np.ndarray, chunk_bytes: int = 4 << 20
+) -> np.ndarray:
+    """Exact set-Jaccard of segment i of (ha, oa) vs segment i of (hb, ob) for
+    all i — ZERO per-pair Python (VERDICT r2 item 2).
+
+    Kernel choice is MEASURED (BASELINE.md r3 notes, 20k pairs × ~100 shingles):
+    padded row-wise ``np.sort(axis=1)`` runs 146k pairs/s vs 49k for the old
+    per-pair ``np.unique``/``intersect1d`` loop and 1.6k (!) for a merged-global-
+    lexsort formulation — at ~100-element segments, global n·log n sorts lose
+    badly to row-parallel small sorts. Each side is padded to the chunk's max
+    segment length with a sentinel, row-sorted, deduped in place (dup → sentinel
+    → one more row sort), then the concatenated rows are row-sorted once more
+    and intersections are adjacent-equal counts per row. Chunked so the 2-D
+    temporaries stay ~``chunk_bytes`` (multi-MB 2-D temps measured up to 100×
+    slower inside Ray workers). A genuine hash equal to the all-ones sentinel
+    would be dropped (p = 2^-64 per shingle — ignored)."""
     n = len(oa) - 1
-    ua, sa, na = _segment_sorted_unique(ha, oa)
-    ub, sb, nb = _segment_sorted_unique(hb, ob)
-    if len(ua) == 0 or len(ub) == 0:
-        union = na + nb
-        return np.where(union == 0, 1.0, 0.0)
-    h = np.concatenate([ua, ub])
-    seg = np.concatenate([sa, sb])
-    side = np.concatenate(
-        [np.zeros(len(ua), dtype=np.int8), np.ones(len(ub), dtype=np.int8)]
-    )
-    order = np.lexsort((side, h, seg))
-    hs, ss = h[order], seg[order]
-    # values are unique WITHIN a side+segment, so an adjacent equal (seg, hash)
-    # run has length exactly 2 and spans both sides — one match
-    match = (hs[1:] == hs[:-1]) & (ss[1:] == ss[:-1])
-    inter = np.bincount(ss[1:][match], minlength=n)
-    union = na + nb - inter
-    return np.where(union == 0, 1.0, inter / np.maximum(union, 1))
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
+    out = np.empty(n, dtype=np.float64)
+    da, db = np.diff(oa), np.diff(ob)
+    mmax = int(max(da.max(initial=0), db.max(initial=0), 1))
+    rows_per_chunk = max(256, int(chunk_bytes // (16 * mmax)))
+
+    def pad_sorted_unique(h, offs, d, lo, hi):
+        rows = hi - lo
+        dseg = d[lo:hi]
+        m = int(max(dseg.max(initial=0), 1))
+        P = np.full((rows, m), _PAIR_SENTINEL, dtype=np.uint64)
+        s, e = int(offs[lo]), int(offs[hi])
+        seg = h[s:e]
+        ridx = np.repeat(np.arange(rows, dtype=np.int64), dseg)
+        cidx = np.arange(len(seg), dtype=np.int64) - np.repeat(offs[lo:hi] - s, dseg)
+        P[ridx, cidx] = seg
+        P.sort(axis=1)
+        dup = np.zeros((rows, m), dtype=bool)
+        dup[:, 1:] = (P[:, 1:] == P[:, :-1]) & (P[:, 1:] != _PAIR_SENTINEL)
+        if dup.any():
+            P[dup] = _PAIR_SENTINEL
+            P.sort(axis=1)
+        cnt = (P != _PAIR_SENTINEL).sum(axis=1)
+        return P, cnt
+
+    for lo in range(0, n, rows_per_chunk):
+        hi = min(lo + rows_per_chunk, n)
+        A, na = pad_sorted_unique(ha, oa, da, lo, hi)
+        B, nb = pad_sorted_unique(hb, ob, db, lo, hi)
+        C = np.concatenate([A, B], axis=1)
+        C.sort(axis=1)
+        inter = ((C[:, 1:] == C[:, :-1]) & (C[:, 1:] != _PAIR_SENTINEL)).sum(axis=1)
+        union = na + nb - inter
+        out[lo:hi] = np.where(union == 0, 1.0, inter / np.maximum(union, 1))
+    return out
 
 
 def minhash_signatures(texts: pa.Array, n_perm: int = 128, k: int = 3, seed: int = 7) -> np.ndarray:

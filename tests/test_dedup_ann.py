@@ -164,6 +164,34 @@ def test_ann_ivf_recall(ray_session):
     assert np.mean(recalls) >= 0.5
 
 
+def test_pairwise_jaccard_matches_loop_oracle():
+    """The padded row-sort Jaccard kernel must equal the per-pair set-op oracle
+    on adversarial ragged inputs: duplicate hashes within a side, empty
+    segments, wildly varying lengths (forces multiple chunks)."""
+    from raysketch.pipeline.dedup import _pairwise_jaccard
+
+    rng = np.random.default_rng(7)
+    ha, hb, oa, ob = [], [], [0], [0]
+    for _ in range(500):
+        la, lb = int(rng.integers(0, 30)), int(rng.integers(0, 30))
+        ha.append(rng.integers(0, 50, size=la).astype(np.uint64))
+        hb.append(rng.integers(0, 50, size=lb).astype(np.uint64))
+        oa.append(oa[-1] + la)
+        ob.append(ob[-1] + lb)
+    ha, hb = np.concatenate(ha), np.concatenate(hb)
+    oa, ob = np.array(oa, dtype=np.int64), np.array(ob, dtype=np.int64)
+
+    exp = np.empty(500)
+    for i in range(500):
+        sa = np.unique(ha[oa[i] : oa[i + 1]])
+        sb = np.unique(hb[ob[i] : ob[i + 1]])
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        u = sa.size + sb.size - inter
+        exp[i] = 1.0 if u == 0 else inter / u
+    got = _pairwise_jaccard(ha, oa, hb, ob, chunk_bytes=1 << 12)  # force many chunks
+    assert np.allclose(got, exp)
+
+
 def test_multimodal_plumbing(ray_session):
     import ray.data as rd
 
