@@ -886,6 +886,51 @@ def q_minhash_dedup(sf_dir: str):
     return minhash_lsh_dedup(planted, threshold=0.8).to_pandas()
 
 
+def q_jaccard_dedup(sf_dir: str):
+    """EXACT prefix-filtered all-pairs n-gram-Jaccard clustering, proven on a
+    two-sided planted fixture: every doc is 40 doc-unique salted tokens (38
+    3-gram shingles; cross-doc Jaccard exactly 0). Every 10th doc gets a
+    near-dup copy at doc_id+10_000_000 with its last 2 tokens replaced —
+    shingle Jaccard (38−2)/(38+2) = 0.9 ≥ 0.8, MUST be clustered. Docs with
+    doc_id % 10 == 5 get a DISTRACTOR copy at doc_id+20_000_000 with the last
+    10 tokens replaced — Jaccard (38−10)/(38+10) ≈ 0.583 < 0.8, MUST NOT be
+    clustered (the prefix filter emits the pair as a candidate; the exact
+    verify rejects it). Unlike the LSH queries this checks BOTH completeness
+    and the sub-threshold exclusion, which plain SQL over ``documents``
+    states."""
+    from raysketch.pipeline.dedup import jaccard_ngram_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"))
+        texts = [" ".join(f"w{i}x{j}" for j in range(40)) for i in ids]
+        near = ids % 10 == 0
+        far = ids % 10 == 5
+        near_copies = [
+            " ".join(f"w{i}x{j}" for j in range(38)) + f" z{i}a z{i}b" for i in ids[near]
+        ]
+        far_copies = [
+            " ".join(f"w{i}x{j}" for j in range(30))
+            + " "
+            + " ".join(f"y{i}q{j}" for j in range(10))
+            for i in ids[far]
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.concatenate(
+                        [ids, ids[near] + 10_000_000, ids[far] + 20_000_000]
+                    ).astype(np.int64)
+                ),
+                "text": pa.array(texts + near_copies + far_copies, pa.string()),
+            }
+        )
+
+    planted = ds.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True)
+    return jaccard_ngram_dedup(planted, threshold=0.8).to_pandas()
+
+
 def q_simhash_dedup(sf_dir: str):
     """SimHash near-dup clustering with a SQL-checkable planted fixture: unique
     per-doc token vocabularies make unrelated fingerprints ~iid 64-bit values
@@ -967,6 +1012,66 @@ def q_ann_ivf(sf_dir: str):
     return pd.DataFrame(
         [{"k": 10, "n_results": len(ivf), "recall_at_least_half": bool(recall >= 0.5)}]
     )
+
+
+def q_ann_lsh(sf_dir: str):
+    """LSH-bucketed ANN (random-hyperplane tables, no shuffle) on a planted
+    fixture with KNOWN nearest neighbors: every 10th vector gets a jittered
+    copy at vec_id+1_000_000 (deterministic jitter, cosine ≈ 1−1e-8), and the
+    queries are the first 8 planted originals. Each query's true top-2 is
+    {itself, its copy}; the query's own code collides in every table by
+    construction and the copy's angle is ~1e-4 rad (per-table collision
+    ≥ 0.996, miss probability across 8 tables < 1e-19), so both MUST appear —
+    an exact statement plain SQL makes. Natural-corpus recall behavior is
+    covered by tests/test_dedup_ann.py."""
+    import pandas as pd
+
+    from raysketch.pipeline.ann import ann_lsh_topk
+    from raysketch.pipeline.dedup import embedding_matrix
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        V = embedding_matrix(batch.column("embedding")).astype(np.float64)
+        ids = np.asarray(batch.column("vec_id"))
+        take = ids % 10 == 0
+        d = V.shape[1]
+        jitter = (
+            ((ids[take][:, None] * 31 + np.arange(d)[None, :]) % 97 - 48).astype(np.float64)
+            * 1e-5
+        )
+        all_v = np.concatenate([V, V[take] + jitter])
+        all_ids = np.concatenate([ids, ids[take] + 1_000_000])
+        return pa.table(
+            {
+                "vec_id": pa.array(all_ids.astype(np.int64)),
+                "embedding": pa.array(list(all_v.astype(np.float32))),
+            }
+        )
+
+    planted = ds.map_batches(plant, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    q_ids = [0, 10, 20, 30, 40, 50, 60, 70]
+    want = np.array(q_ids, dtype=np.int64)
+    q_rows = {
+        r["vec_id"]: r["embedding"]
+        for r in planted.map_batches(
+            lambda b: b.filter(pa.array(np.isin(np.asarray(b.column("vec_id")), want))),
+            batch_format="pyarrow",
+        ).take_all()
+    }
+    Q = np.stack([np.asarray(q_rows[i], dtype=np.float64) for i in q_ids])
+    res = ann_lsh_topk(planted, Q, k=2, n_tables=8, n_bits=12).to_pandas()
+    out = []
+    for qi, vid in enumerate(q_ids):
+        mine = set(res[res["query_id"] == qi]["vec_id"])
+        out.append(
+            {
+                "query_id": qi,
+                "self_found": bool(vid in mine),
+                "copy_found": bool(vid + 1_000_000 in mine),
+            }
+        )
+    return pd.DataFrame(out)
 
 
 def q_lang_id(sf_dir: str):
@@ -1133,9 +1238,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_ddsketch": q_quantiles_ddsketch,
         "theta_set_ops": q_theta_set_ops,
         "minhash_dedup": q_minhash_dedup,
+        "jaccard_dedup": q_jaccard_dedup,
         "simhash_dedup": q_simhash_dedup,
         "embedding_dedup": q_embedding_dedup,
         "ann_ivf": q_ann_ivf,
+        "ann_lsh": q_ann_lsh,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         "media_features": q_media_features,
@@ -1307,6 +1414,11 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT doc_id AS cluster_id, doc_id + 10000000 AS doc_id FROM documents WHERE doc_id % 10 = 0"
         ),
+        "jaccard_dedup": (
+            "SELECT doc_id AS cluster_id, doc_id FROM documents WHERE doc_id % 10 = 0 "
+            "UNION ALL "
+            "SELECT doc_id AS cluster_id, doc_id + 10000000 AS doc_id FROM documents WHERE doc_id % 10 = 0"
+        ),
         "simhash_dedup": (
             "SELECT doc_id AS cluster_id, doc_id FROM documents WHERE doc_id % 10 = 0 "
             "UNION ALL "
@@ -1319,6 +1431,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_ivf": (
             "SELECT 10::BIGINT AS k, 10::BIGINT AS n_results, true AS recall_at_least_half"
+        ),
+        "ann_lsh": (
+            "SELECT i::BIGINT AS query_id, true AS self_found, true AS copy_found "
+            "FROM range(8) t(i)"
         ),
         "lang_id": "SELECT doc_id, lang AS lang_pred FROM documents",
         "fingerprints": (

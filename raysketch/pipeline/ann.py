@@ -82,6 +82,30 @@ class _BatchTopK:
         )
 
 
+def _merge_topk(rows, k: int, id_col: str) -> pa.Table:
+    """Driver-side merge of per-block partial top-k rows — O(#blocks × q × k)
+    input, never the vectors. Heap on (score, -vec_id) → ties broken toward the
+    smaller id, matching a SQL ``ORDER BY score DESC, vec_id`` oracle."""
+    by_q: dict[int, list] = {}
+    for r in rows:
+        heapq.heappush(by_q.setdefault(r["query_id"], []), (r["score"], -r[id_col]))
+        if len(by_q[r["query_id"]]) > k:
+            heapq.heappop(by_q[r["query_id"]])
+    out_q, out_v, out_s = [], [], []
+    for q in sorted(by_q):
+        for s, negid in sorted(by_q[q], key=lambda t: (-t[0], -t[1])):
+            out_q.append(q)
+            out_v.append(-negid)
+            out_s.append(s)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            id_col: pa.array(out_v, pa.int64()),
+            "score": pa.array(out_s, pa.float64()),
+        }
+    )
+
+
 def ann_cosine_topk(
     ds,
     queries: np.ndarray,
@@ -103,27 +127,7 @@ def ann_cosine_topk(
         concurrency=concurrency,
         zero_copy_batch=True,
     )
-    rows = partials.take_all()  # O(#blocks × q × k) — small
-    by_q: dict[int, list] = {}
-    for r in rows:
-        # heap on (score, -vec_id) → ties broken toward the smaller id
-        heapq.heappush(by_q.setdefault(r["query_id"], []), (r["score"], -r[id_col]))
-        if len(by_q[r["query_id"]]) > k:
-            heapq.heappop(by_q[r["query_id"]])
-    out_q, out_v, out_s = [], [], []
-    for q in sorted(by_q):
-        best = sorted(by_q[q], key=lambda t: (-t[0], -t[1]))
-        for s, negid in best:
-            out_q.append(q)
-            out_v.append(-negid)
-            out_s.append(s)
-    return pa.table(
-        {
-            "query_id": pa.array(out_q, pa.int64()),
-            id_col: pa.array(out_v, pa.int64()),
-            "score": pa.array(out_s, pa.float64()),
-        }
-    )
+    return _merge_topk(partials.take_all(), k, id_col)
 
 
 # ---------------------------------------------------------------------------
@@ -222,22 +226,115 @@ def ann_ivf_topk(
         concurrency=concurrency,
         zero_copy_batch=True,
     )
-    rows = partials.take_all()
-    by_q: dict[int, list] = {}
-    for r in rows:
-        heapq.heappush(by_q.setdefault(r["query_id"], []), (r["score"], -r[id_col]))
-        if len(by_q[r["query_id"]]) > k:
-            heapq.heappop(by_q[r["query_id"]])
-    out_q, out_v, out_s = [], [], []
-    for q in sorted(by_q):
-        for s, negid in sorted(by_q[q], key=lambda t: (-t[0], -t[1])):
-            out_q.append(q)
-            out_v.append(-negid)
-            out_s.append(s)
-    return pa.table(
-        {
-            "query_id": pa.array(out_q, pa.int64()),
-            id_col: pa.array(out_v, pa.int64()),
-            "score": pa.array(out_s, pa.float64()),
-        }
+    return _merge_topk(partials.take_all(), k, id_col)
+
+
+# ---------------------------------------------------------------------------
+# LSH (random hyperplane / SimHash buckets)
+# ---------------------------------------------------------------------------
+
+
+def _lsh_codes(V: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(n, n_tables) int64 bucket codes: sign pattern of ``V @ planes[t].T``
+    packed little-endian. ``planes`` is (n_tables, n_bits, dim); collision
+    probability per bit for angle θ is 1 − θ/π (Charikar 2002)."""
+    n_tables, n_bits, _ = planes.shape
+    codes = np.empty((len(V), n_tables), dtype=np.int64)
+    weights = (1 << np.arange(n_bits, dtype=np.int64))
+    for t in range(n_tables):
+        bits = (V @ planes[t].T) > 0  # (n, n_bits)
+        codes[:, t] = bits @ weights
+    return codes
+
+
+class _LSHTopK:
+    """Actor-pool stage for LSH ANN: planes + query codes broadcast once per
+    actor; per batch, vectors colliding with NO query in ANY table are dropped
+    before the matmul, and surviving scores are masked to -inf for queries the
+    vector does not collide with (single-query LSH candidate semantics — a
+    query's k slots are never displaced by another query's candidates)."""
+
+    def __init__(self, planes_ref, queries_ref, k: int, emb_col: str, id_col: str):
+        self.planes = ray.get(planes_ref) if not isinstance(planes_ref, np.ndarray) else planes_ref
+        Q = ray.get(queries_ref) if not isinstance(queries_ref, np.ndarray) else queries_ref
+        self.Q = _normalize(np.asarray(Q, dtype=np.float64))
+        self.qcodes = _lsh_codes(self.Q, self.planes)  # (q, n_tables)
+        self.k = k
+        self.emb_col = emb_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                self.id_col: pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        V = _normalize(embedding_matrix(batch.column(self.emb_col)).astype(np.float64))
+        ids = np.asarray(batch.column(self.id_col))
+        codes = _lsh_codes(V, self.planes)  # (n, n_tables)
+        # (n, q) collision mask: equal code in >=1 table; n_tables × q is small
+        collide = np.zeros((len(V), self.Q.shape[0]), dtype=bool)
+        for t in range(self.planes.shape[0]):
+            collide |= codes[:, t : t + 1] == self.qcodes[None, :, t]
+        cand = collide.any(axis=1)
+        if not cand.any():
+            return empty
+        V, ids, collide = V[cand], ids[cand], collide[cand]
+        scores = V @ self.Q.T
+        scores[~collide] = -np.inf
+        k = min(self.k, len(ids))
+        top = np.argpartition(-scores, kth=k - 1, axis=0)[:k]
+        q_idx = np.repeat(np.arange(self.Q.shape[0]), k)
+        v_idx = top.T.ravel()
+        sel = scores[v_idx, q_idx]
+        keep = np.isfinite(sel)
+        return pa.table(
+            {
+                "query_id": pa.array(q_idx[keep].astype(np.int64)),
+                self.id_col: pa.array(ids[v_idx[keep]].astype(np.int64)),
+                "score": pa.array(sel[keep].astype(np.float64)),
+            }
+        )
+
+
+def ann_lsh_topk(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    n_tables: int = 8,
+    n_bits: int = 12,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    concurrency: int | tuple = (1, 8),
+    seed: int = 5,
+) -> pa.Table:
+    """LSH-bucketed ANN (random-hyperplane / Charikar signatures): a vector is a
+    candidate for a query iff their ``n_bits``-bit sign codes match in at least
+    one of ``n_tables`` tables. One streaming map pass — NO shuffle at all: the
+    (n_tables × n_bits × dim) plane tensor and the query codes broadcast once
+    per actor, candidates score locally, and only per-block top-k rows reach the
+    merge. Recall per neighbor at angle θ is 1 − (1 − (1−θ/π)^n_bits)^n_tables;
+    same output schema as ``ann_cosine_topk``."""
+    Q = np.asarray(queries, dtype=np.float64)
+    dim = Q.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_bits, dim))
+    pref, qref = ray.put(planes), ray.put(Q)
+    partials = ds.select_columns([id_col, emb_col]).map_batches(
+        _LSHTopK,
+        fn_constructor_kwargs={
+            "planes_ref": pref,
+            "queries_ref": qref,
+            "k": k,
+            "emb_col": emb_col,
+            "id_col": id_col,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        zero_copy_batch=True,
     )
+    return _merge_topk(partials.take_all(), k, id_col)

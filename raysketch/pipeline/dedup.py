@@ -721,6 +721,109 @@ def minhash_lsh_dedup(
 
 
 # ---------------------------------------------------------------------------
+# exact n-gram Jaccard (prefix-filtered all-pairs)
+# ---------------------------------------------------------------------------
+
+
+def _prefix_rows(h: np.ndarray, offs: np.ndarray, threshold: float) -> tuple[np.ndarray, np.ndarray]:
+    """Per-document prefix tokens for the Jaccard prefix filter (Chaudhuri et al.
+    SSJoin 2006 / Bayardo et al. All-Pairs 2007): under ANY fixed global total
+    order on tokens — here ascending 64-bit shingle hash, which needs no global
+    frequency pass — two sets with ``J ≥ t`` must share a token within each
+    side's first ``u − ⌈t·u⌉ + 1`` tokens (``u`` = unique-set size). Returns
+    ``(prefix_hashes, doc_indices)`` with every segment sorted + deduped in one
+    lexsort pass (no per-doc Python)."""
+    nseg = len(offs) - 1
+    if len(h) == 0:
+        return h, np.empty(0, dtype=np.int64)
+    d = np.diff(offs)
+    seg = np.repeat(np.arange(nseg, dtype=np.int64), d)
+    order = np.lexsort((h, seg))
+    hs, ss = h[order], seg[order]
+    keep = np.empty(len(hs), dtype=bool)
+    keep[0] = True
+    keep[1:] = (hs[1:] != hs[:-1]) | (ss[1:] != ss[:-1])
+    hu, su = hs[keep], ss[keep]
+    cnt = np.bincount(su, minlength=nseg)
+    plen = np.maximum(cnt - np.ceil(threshold * cnt).astype(np.int64) + 1, 0)
+    plen[cnt == 0] = 0
+    starts = np.concatenate([[0], np.cumsum(cnt)])
+    pos = np.arange(len(hu), dtype=np.int64) - starts[su]
+    keep2 = pos < plen[su]
+    return hu[keep2], su[keep2]
+
+
+def jaccard_ngram_dedup(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    max_bucket: int = 256,
+    as_dataset: bool = False,
+):
+    """EXACT all-pairs n-gram-Jaccard clustering (no LSH recall loss): returns
+    ``(doc_id, cluster_id)`` for every doc in a cluster of pairwise-verified
+    ``J(shingles_a, shingles_b) ≥ threshold`` components.
+
+    Candidate generation is the prefix filter (``_prefix_rows``): each doc emits
+    only its ``u − ⌈t·u⌉ + 1`` smallest unique shingle hashes as (key, doc) rows
+    — at t=0.8 that's ~20% of the shingle volume — and every qualifying pair
+    provably shares a prefix key, so completeness is exact (unlike MinHash-LSH,
+    which misses with probability (1−s^r)^b). Downstream reuses the audited
+    scale-safe dedup machinery unchanged: native hot-key count → HASH_SHUFFLE
+    pair emission per bucket block → Bloom-prefiltered payload joins → one
+    vectorized exact-Jaccard verify → distributed connected components.
+
+    The single approximation is the ``max_bucket`` truncation of degenerate
+    posting lists (a shingle appearing in >256 docs' prefixes — boilerplate);
+    precision is still exact (every emitted edge is verified), only recall on
+    boilerplate-dominated docs is capped, same policy as the LSH path."""
+
+    def prefixrows(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).combine_chunks()
+        ids = np.asarray(batch.column(id_col))
+        h, offs = _word_shingle_hashes(texts, shingle_k)
+        ph, pseg = _prefix_rows(h, offs, threshold)
+        return pa.table(
+            {
+                "key": pa.array(ph.view(np.int64)),
+                id_col: pa.array(ids[pseg]),
+            }
+        )
+
+    prefix_rows = ds.select_columns([id_col, text_col]).map_batches(
+        prefixrows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    members, n_rows = _hot_members(prefix_rows, id_col)
+    if members is None:
+        return pa.table(_EMPTY_CLUSTERS)
+    pairs = _emit_pairs(
+        members, id_col, max_bucket=max_bucket, num_partitions=_partitions_for(n_rows)
+    ).materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return pa.table(_EMPTY_CLUSTERS)
+    with_texts = _attach_pair_payload(pairs, ds, id_col, text_col, n_pairs)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        ha, oa = _word_shingle_hashes(batch.column(f"{text_col}_a").combine_chunks(), shingle_k)
+        hb, ob = _word_shingle_hashes(batch.column(f"{text_col}_b").combine_chunks(), shingle_k)
+        keep = pa.array(_pairwise_jaccard(ha, oa, hb, ob) >= threshold)
+        return pa.table(
+            {"a": batch.column("a").filter(keep), "b": batch.column("b").filter(keep)}
+        )
+
+    edges = with_texts.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return pa.table(_EMPTY_CLUSTERS)
+    return _collect_clusters(edges, n_edges, as_dataset)
+
+
+# ---------------------------------------------------------------------------
 # simhash
 # ---------------------------------------------------------------------------
 

@@ -5,11 +5,12 @@ import pandas as pd
 import pyarrow as pa
 import pytest
 
-from raysketch.pipeline.ann import ann_cosine_topk, ann_ivf_topk
+from raysketch.pipeline.ann import ann_cosine_topk, ann_ivf_topk, ann_lsh_topk
 from raysketch.pipeline.dedup import (
     embedding_cosine_dedup,
     embedding_matrix,
     exact_dedup,
+    jaccard_ngram_dedup,
     minhash_lsh_dedup,
     minhash_signatures,
     ngram_jaccard,
@@ -90,6 +91,47 @@ def test_minhash_lsh_dedup_clusters(docs_ds):
     assert not (df["doc_id"] >= 10).any()
 
 
+def test_jaccard_dedup_exact_clusters(docs_ds):
+    out = jaccard_ngram_dedup(docs_ds, threshold=0.7)
+    df = out.to_pandas()
+    clusters = df.groupby("cluster_id")["doc_id"].apply(set).to_dict()
+    # exact-copy groups recovered (J=1); near-dup doc 9 differs by 1 of 14
+    # words → 3-shingle J = (12-3)/(12+3) = 0.6 < 0.7, must stay out
+    assert clusters.get(0, set()) == {0, 1, 2}
+    assert clusters.get(3, set()) == {3, 4, 5}
+    assert clusters.get(6, set()) == {6, 7, 8}
+    assert not (df["doc_id"] >= 9).any()
+    # lowering the threshold pulls the near-dup in — exactness both sides
+    df2 = jaccard_ngram_dedup(docs_ds, threshold=0.55).to_pandas()
+    c2 = df2.groupby("cluster_id")["doc_id"].apply(set).to_dict()
+    assert c2.get(0, set()) == {0, 1, 2, 9}
+
+
+def test_prefix_filter_completeness_property():
+    """The prefix-filter lemma: EVERY pair with J >= t shares at least one
+    prefix token — brute-forced on random multi-sets with heavy overlap."""
+    from raysketch.pipeline.dedup import _prefix_rows
+
+    rng = np.random.default_rng(11)
+    t = 0.7
+    sets, flat, offs = [], [], [0]
+    for _ in range(120):
+        base = rng.integers(0, 40, size=rng.integers(1, 25)).astype(np.uint64)
+        sets.append(np.unique(base))
+        flat.append(base)
+        offs.append(offs[-1] + len(base))
+    h = np.concatenate(flat)
+    offs = np.array(offs, dtype=np.int64)
+    ph, pseg = _prefix_rows(h, offs, t)
+    prefixes = [set(ph[pseg == i].tolist()) for i in range(len(sets))]
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            inter = np.intersect1d(sets[i], sets[j], assume_unique=True).size
+            union = sets[i].size + sets[j].size - inter
+            if union and inter / union >= t:
+                assert prefixes[i] & prefixes[j], (i, j)
+
+
 def test_simhash_dedup(docs_ds):
     fp = simhash64(pa.array(["same words here entirely", "same words here entirely", "other thing"]))
     assert fp[0] == fp[1] and fp[0] != fp[2]
@@ -162,6 +204,54 @@ def test_ann_ivf_recall(ray_session):
         a = set(approx[approx["query_id"] == q]["vec_id"])
         recalls.append(len(e & a) / 5)
     assert np.mean(recalls) >= 0.5
+
+
+def test_ann_lsh_planted_recall(ray_session):
+    """Planted jittered copies (cosine ≈ 1−1e-8) MUST be retrieved: the query's
+    own code collides in every table, the copy's miss probability is < 1e-19
+    across 8 tables; also check results are a subset of brute-force ordering."""
+    import ray.data as rd
+
+    tbl = _emb_table(n=300, d=16, seed=5)
+    V = embedding_matrix(tbl.column("embedding")).astype(np.float64)
+    ids = np.asarray(tbl.column("vec_id"))
+    copies = V[:20] + 1e-6
+    planted = pa.table(
+        {
+            "vec_id": pa.array(np.concatenate([ids, np.arange(20) + 10_000]).astype(np.int64)),
+            "embedding": pa.array(list(np.concatenate([V, copies]).astype(np.float32))),
+        }
+    )
+    ds = rd.from_arrow(planted).repartition(4)
+    Q = V[:5]
+    out = ann_lsh_topk(ds, Q, k=2, n_tables=8, n_bits=12, seed=5).to_pandas()
+    for qi in range(5):
+        got = set(out[out["query_id"] == qi]["vec_id"])
+        assert qi in got, f"query {qi} did not find itself"
+        assert qi + 10_000 in got, f"query {qi} did not find its planted copy"
+    # candidate semantics: every returned score matches the exact cosine
+    bf = ann_cosine_topk(ds, Q, k=2).to_pandas()
+    merged = out.merge(bf, on=["query_id", "vec_id"], suffixes=("_lsh", "_bf"))
+    assert np.allclose(merged["score_lsh"], merged["score_bf"], atol=1e-9)
+
+
+def test_ann_lsh_empty_and_no_collision(ray_session):
+    """A query orthogonal to a tiny corpus may collide with nothing — the
+    result must be empty, not an error."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(0)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(4, dtype=np.int64)),
+            "embedding": pa.array(list(rng.normal(size=(4, 16)).astype(np.float32))),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    Q = rng.normal(size=(1, 16))
+    out = ann_lsh_topk(ds, Q, k=2, n_tables=1, n_bits=16, seed=1).to_pandas()
+    assert len(out) <= 2  # possibly zero rows; schema intact
+    assert list(out.columns) == ["query_id", "vec_id", "score"]
 
 
 def test_pairwise_jaccard_matches_loop_oracle():
