@@ -702,6 +702,84 @@ def q_bloom_semi_join(sf_dir: str):
     )
 
 
+def q_bloom_delete(sf_dir: str):
+    """Counting-Bloom retirement (the deletable family member, Fan et al. 2000):
+    insert every doc_id (distributed partial build + saturating-add tree merge),
+    then retire the 'en' documents by building a SECOND counting filter over the
+    retire set and subtracting it — the distributed-delete idiom; both builds
+    stream, only blob-sized state reaches the driver. Invariant row the SQL
+    oracle states: every surviving doc still probes present (no false
+    negatives), retired and never-inserted ids probe at the fp rate ≤ 2p, and
+    the net element count is exact."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from raysketch.pipeline.build import build_sketch
+    from raysketch.pipeline.probe import probe_dataset
+    from raysketch.sketches.counting_bloom import CountingBloom
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    n = docs.count()
+
+    def make():
+        return CountingBloom(max(n, 64), 0.01)
+
+    inserted = build_sketch(docs, "doc_id", make)
+    retire = docs.filter(expr="lang == 'en'")
+    cb = inserted.subtract(build_sketch(retire, "doc_id", make))
+
+    def label(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"))
+        en = pc.equal(batch.column("lang"), "en")
+        return pa.table(
+            {
+                # surviving + retired ids, and a disjoint never-inserted id range
+                "doc_id": pa.array(np.concatenate([ids, ids + 10_000_000])),
+                "group": pa.array(
+                    np.concatenate(
+                        [np.where(np.asarray(en), 1, 0), np.full(len(ids), 2)]
+                    ).astype(np.int64)
+                ),  # 0=kept 1=retired 2=fresh
+            }
+        )
+
+    probes = probe_dataset(
+        docs.map_batches(label, batch_format="pyarrow", zero_copy_batch=True),
+        cb,
+        "doc_id",
+    )
+    agg = (
+        probes.map_batches(
+            lambda b: pa.table(
+                {
+                    "group": b.column("group"),
+                    "hit": pc.cast(b.column("member"), pa.int64()),
+                    "one": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("group")
+        .aggregate(Sum("hit", alias_name="hits"), Sum("one", alias_name="total"))
+        .to_pandas()
+        .set_index("group")
+    )
+    kept_h, kept_n = int(agg.loc[0, "hits"]), int(agg.loc[0, "total"])
+    ret_h, ret_n = int(agg.loc[1, "hits"]), int(agg.loc[1, "total"])
+    fr_h, fr_n = int(agg.loc[2, "hits"]), int(agg.loc[2, "total"])
+    bound = lambda h, t: bool(h <= max(2 * 0.01 * t, 3.0))  # noqa: E731
+    return pd.DataFrame(
+        [
+            {
+                "kept_missing": int(kept_n - kept_h),
+                "retired_fp_under_2p": bound(ret_h, ret_n),
+                "fresh_fp_under_2p": bound(fr_h, fr_n),
+                "net_count": int(cb.count),
+            }
+        ]
+    )
+
+
 def q_hll_distinct(sf_dir: str):
     """HLL distinct counts for several columns (one distributed partial+merge
     build each), reported as the oracle-checkable bound row: the estimate is
@@ -1230,6 +1308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_membership": q_bloom_membership,
         "bloom_membership_shuffle": q_bloom_membership_shuffle,
         "bloom_semi_join": q_bloom_semi_join,
+        "bloom_delete": q_bloom_delete,
         "hll_distinct": q_hll_distinct,
         "hll_by_lang": q_hll_by_lang,
         "cms_event_types": q_cms_event_types,
@@ -1378,6 +1457,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT (SELECT count(*) FROM orders WHERE o_orderkey IN "
             "(SELECT l_orderkey FROM lineitem))::BIGINT AS kept_true, "
             "0::BIGINT AS missed_true, true AS fp_under_2p"
+        ),
+        "bloom_delete": (
+            "SELECT 0::BIGINT AS kept_missing, true AS retired_fp_under_2p, "
+            "true AS fresh_fp_under_2p, "
+            "(SELECT count(*) FROM documents WHERE lang <> 'en')::BIGINT AS net_count"
         ),
         "hll_distinct": (
             "SELECT 'lineitem.l_orderkey' AS table_col, true AS within_3sigma "

@@ -249,6 +249,16 @@ class BloomSketch:
             return float(self._bits_u8.mean())
         return float(np.unpackbits(self._blocks.view(np.uint8)).mean())
 
+    def estimate_cardinality(self) -> float:
+        """Swamidass–Baldi (2007) inserted-count estimate from the fill ratio:
+        ``n̂ = −(m/k)·ln(1 − X)``. Exact-expectation for the classic uniform
+        probe layout; for blocked/patterned layouts the uniformity assumption
+        is approximate and the estimate skews with the extra collisions."""
+        x = self.fill_ratio()
+        if x >= 1.0:
+            return float("inf")
+        return -(self.m / self.k) * math.log1p(-x)
+
     def to_bytes(self) -> bytes:
         meta = {
             "capacity": self.capacity,

@@ -548,3 +548,70 @@ def test_bloom_patterned_invariants():
     assert a.merge(b).to_bytes() == sk.to_bytes()
     rt = BloomSketch.from_bytes(sk.to_bytes())
     assert rt.probe_column(keys).all() and rt.to_bytes() == sk.to_bytes()
+
+
+# ---------------------------------------------------------------------- counting bloom
+
+
+def test_counting_bloom_delete_is_exact_inverse():
+    """insert(A ∪ B); delete(B) leaves counters element-wise identical to a
+    fresh insert(A) — the Summary-Cache deletable guarantee, checkable exactly
+    because no counter saturates at these sizes."""
+    from raysketch.sketches.counting_bloom import CountingBloom
+
+    a = _keys(15000, "keep")
+    b = _keys(5000, "drop")
+    cb = CountingBloom(20000, 0.01)
+    cb.update_column(a)
+    cb.update_column(b)
+    assert cb.probe_column(a).all() and cb.probe_column(b).all()
+    cb.delete_column(b)
+    ref = CountingBloom(20000, 0.01)
+    ref.update_column(a)
+    assert np.array_equal(cb._cnt, ref._cnt)
+    assert cb.count == 15000
+    # survivors: no false negatives; deleted keys revert to fp-rate membership
+    assert cb.probe_column(a).all()
+    assert cb.probe_column(b).mean() < 0.05
+    fresh = _keys(40000, "neg")
+    assert cb.probe_column(fresh).mean() <= 2 * 0.01 + 0.003
+
+
+def test_counting_bloom_merge_saturating_and_roundtrip():
+    from raysketch.sketches.base import sketch_from_bytes
+    from raysketch.sketches.counting_bloom import CountingBloom, SATURATE
+
+    keys = _keys(20000)
+    one = CountingBloom(20000, 0.01)
+    one.update_column(keys)
+    p1, p2 = CountingBloom(20000, 0.01), CountingBloom(20000, 0.01)
+    p1.update_column(keys.slice(0, 8000))
+    p2.update_column(keys.slice(8000))
+    assert np.array_equal(p1.merge(p2)._cnt, one._cnt)  # merge ≡ single build
+    rt = sketch_from_bytes(one.to_bytes())
+    assert np.array_equal(rt._cnt, one._cnt) and rt.count == one.count
+    # saturating add is pinned, never wraps
+    s1, s2 = CountingBloom(64, 0.5), CountingBloom(64, 0.5)
+    s1._cnt[:] = SATURATE - 1
+    s2._cnt[:] = 5
+    s1.merge(s2)
+    assert (s1._cnt == SATURATE).all()
+    s1.delete_hashes(np.array([1], dtype=np.uint32), np.array([2], dtype=np.uint32))
+    assert (s1._cnt == SATURATE).all()  # pinned counters never decrement
+
+
+def test_bloom_cardinality_estimate():
+    """Swamidass–Baldi fill-ratio estimate within a few % at half load, for the
+    plain filter and the counting variant (same estimator, counter>0 bits)."""
+    from raysketch.sketches.counting_bloom import CountingBloom
+
+    n = 30000
+    bf = BloomSketch(2 * n, 0.01)
+    bf.update_column(_keys(n))
+    assert abs(bf.estimate_cardinality() - n) / n < 0.03
+    cb = CountingBloom(2 * n, 0.01)
+    cb.update_column(_keys(n))
+    assert abs(cb.estimate_cardinality() - n) / n < 0.03
+    cb.delete_column(_keys(n // 2))  # first half deleted
+    est = cb.estimate_cardinality()
+    assert abs(est - n / 2) / (n / 2) < 0.05  # estimate tracks deletions
