@@ -9,7 +9,9 @@ Headline pipelines over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) with
 - ``bloom_probe``      confusion-matrix probe phase over orders keys
 - ``hll / cms / tdigest / kll``  sketch builds (partial + tree-merge, no shuffle)
 - ``minhash_dedup``    near-dup LSH over documents
+- ``jaccard_dedup``    exact prefix-filtered all-pairs Jaccard over documents
 - ``ann_topk``         brute-force cosine top-k over embeddings
+- ``ann_lsh``          LSH-bucketed (random-hyperplane) ANN, shuffle-free
 - ``window_events``    tumbling-window aggregate
 - ``dedup_exact``      hash-partitioned exact dedup
 
@@ -64,9 +66,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     ctx = rd.DataContext.get_current()
     ctx.enable_progress_bars = False
 
-    from raysketch.pipeline.ann import ann_cosine_topk
+    from raysketch.pipeline.ann import ann_cosine_topk, ann_lsh_topk
     from raysketch.pipeline.build import build_sketch
-    from raysketch.pipeline.dedup import exact_dedup, minhash_lsh_dedup
+    from raysketch.pipeline.dedup import exact_dedup, jaccard_ngram_dedup, minhash_lsh_dedup
     from raysketch.pipeline.events import tumbling_window_agg
     from raysketch.pipeline.partitioned import build_partitioned_bloom
     from raysketch.pipeline.probe import confusion_matrix
@@ -183,10 +185,18 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             len(np.unique(np.asarray(clusters.column("cluster_id"))))
         )
         extras["minhash_clustered_docs"] = int(clusters.num_rows)
+        with timed("jaccard_dedup"):
+            jclusters = jaccard_ngram_dedup(
+                rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+                threshold=0.8,
+            )
+        extras["jaccard_clustered_docs"] = int(jclusters.num_rows)
         with timed("ann_topk"):
             emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
             q = np.stack([np.asarray(r["embedding"], dtype=np.float32) for r in emb.take(8)])
             ann_cosine_topk(emb, q, k=10, concurrency=(1, num_cpus), dtype=np.float32)
+        with timed("ann_lsh"):
+            ann_lsh_topk(emb, q.astype(np.float64), k=10, concurrency=(1, num_cpus))
         with timed("window_events"):
             tumbling_window_agg(rd.read_parquet(f"{sf_dir}/events.parquet"), window_s=86400).count()
 
@@ -296,8 +306,9 @@ def run_scaling(sf_dir: str) -> dict:
     import subprocess
 
     lo, hi = SCALING_LEVELS
+    n_trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "2"))
     trials: dict[int, list[dict]] = {lo: [], hi: []}
-    for ncpu in (lo, hi, lo, hi):
+    for ncpu in (lo, hi) * n_trials:
         time.sleep(40)  # let the host CPU-quota bucket refill; identical per run
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--scaling-job", str(ncpu)],
@@ -310,7 +321,7 @@ def run_scaling(sf_dir: str) -> dict:
     best = {n: max(ts, key=lambda r: r["rows_per_sec"]) for n, ts in trials.items()}
     eff = (best[hi]["rows_per_sec"] / best[lo]["rows_per_sec"]) / (hi / lo)
     return {
-        "metric": f"scaling efficiency (minhash sketch-build rows/sec, {lo} vs {hi} cpus, best of 2 interleaved trials)",
+        "metric": f"scaling efficiency (minhash sketch-build rows/sec, {lo} vs {hi} cpus, best of {n_trials} interleaved trials)",
         "value": round(eff, 3),
         "unit": "efficiency",
         f"throughput_{lo}": best[lo]["rows_per_sec"],
