@@ -142,6 +142,37 @@ def q_token_stats(sf_dir: str):
     return out.to_pandas()
 
 
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition signals on a closed-form fixture: doc ``i`` (with
+    ``d = i % 4``) is built as line A repeated d+1 times followed by 9 unique
+    lines, every line exactly 10 chars, one token per line — so
+    dup_line_frac = d/(10+d), dup_line_char_frac = (d+1)·10/((10+d)·10) for
+    d ≥ 1 else 0, and top-2-gram frac = max(d,1)/(9+d): each a single float64
+    division of exact integers that DuckDB reproduces bit-identically. The
+    natural-text behavior is oracle-tested against a Counter reference in
+    tests/test_text_events.py."""
+    from raysketch.pipeline.text import repetition_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"))
+        texts = []
+        for i in ids:
+            d = int(i) % 4
+            lines = [f"a{i:09d}"] * (d + 1) + [f"b{i:07d}x{j}" for j in range(1, 10)]
+            texts.append("\n".join(lines))
+        return pa.table({"doc_id": pa.array(ids), "text": pa.array(texts, pa.string())})
+
+    fixture = ds.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True)
+    out = fixture.map_batches(
+        lambda b: repetition_batch(b).drop_columns(["text"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return out.to_pandas()
+
+
 def q_quality_stats(sf_dir: str):
     """Per-lang integer quality sums (chars, tokens, docs) via in-batch partials."""
     ds = _read(sf_dir, "documents", ["lang", "text"])
@@ -1288,6 +1319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_counts": q_source_counts,
         "token_stats": q_token_stats,
         "quality_stats": q_quality_stats,
+        "repetition_stats": q_repetition_stats,
         "window_events": q_window_events,
         "sliding_windows": q_sliding_windows,
         "window_distinct": q_window_distinct,
@@ -1339,6 +1371,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text"
         ),
         "lang_counts": "SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang",
+        "repetition_stats": (
+            "SELECT doc_id, "
+            "(doc_id % 4)::DOUBLE / (10 + doc_id % 4) AS r_dup_line_frac, "
+            "CASE WHEN doc_id % 4 = 0 THEN 0.0 ELSE "
+            "((doc_id % 4 + 1) * 10)::DOUBLE / ((10 + doc_id % 4) * 10) END "
+            "AS r_dup_line_char_frac, "
+            "(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE doc_id % 4 END)::DOUBLE "
+            "/ (9 + doc_id % 4) AS r_top2gram_frac "
+            "FROM documents"
+        ),
         "source_counts": "SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source",
         "token_stats": (
             "SELECT doc_id, len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_tokens FROM documents"

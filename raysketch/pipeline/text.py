@@ -85,6 +85,96 @@ def quality_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     return batch.append_column("q_mean_token_len", mean_tok)
 
 
+_2GRAM_P = np.uint64(0x9E3779B97F4A7C15)  # odd mixer for adjacent-token combine
+
+
+def _segment_dup_stats(
+    h: np.ndarray, seg: np.ndarray, weights: np.ndarray, nseg: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Per-segment duplicate statistics over (hash, segment) items in ONE lexsort
+    pass: ``(n_items, n_distinct, dup_weight, max_run)`` where ``dup_weight``
+    sums the weights of every occurrence belonging to a value seen ≥2 times in
+    its segment and ``max_run`` is the count of the segment's most frequent
+    value."""
+    n_items = np.bincount(seg, minlength=nseg)
+    n_distinct = np.zeros(nseg, dtype=np.int64)
+    dup_weight = np.zeros(nseg, dtype=np.float64)
+    max_run = np.zeros(nseg, dtype=np.int64)
+    if len(h) == 0:
+        return n_items, n_distinct, dup_weight, max_run
+    order = np.lexsort((h, seg))
+    hs, ss, ws = h[order], seg[order], weights[order]
+    new = np.empty(len(hs), dtype=bool)
+    new[0] = True
+    new[1:] = (hs[1:] != hs[:-1]) | (ss[1:] != ss[:-1])
+    run_id = np.cumsum(new) - 1
+    run_len = np.bincount(run_id)
+    run_seg = ss[new]
+    n_distinct += np.bincount(run_seg, minlength=nseg)
+    run_w = np.bincount(run_id, weights=ws)
+    dup_weight += np.bincount(
+        run_seg, weights=np.where(run_len >= 2, run_w, 0.0), minlength=nseg
+    )
+    np.maximum.at(max_run, run_seg, run_len)
+    return n_items, n_distinct, dup_weight, max_run
+
+
+def repetition_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1, public) — the
+    standard web-corpus quality gates, fully vectorized (Arrow split + one
+    lexsort per signal, no per-row Python):
+
+    - ``r_dup_line_frac``: ``(n_lines − n_distinct_lines) / n_lines`` over
+      ``\\n``-split lines (empty segments count as lines, as in the paper);
+    - ``r_dup_line_char_frac``: characters belonging to any line whose text
+      occurs ≥2 times in the doc, over total line characters;
+    - ``r_top2gram_frac``: occurrences of the most frequent word 2-gram over
+      the doc's 2-gram count (occurrence fraction — a deliberate simplification
+      of the paper's character fraction, stated here so oracles can match it).
+
+    Every fraction is one float64 division of exact integer counts, so a SQL
+    oracle computing the same integers matches bit-exactly."""
+    text = batch.column(col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    ndoc = len(text)
+    lines = pc.split_pattern(text, "\n")
+    offs = np.asarray(lines.offsets).astype(np.int64)
+    flat = lines.values
+    lseg = np.repeat(np.arange(ndoc, dtype=np.int64), np.diff(offs))
+    lh = hash_column(flat)
+    lchars = np.asarray(pc.utf8_length(flat)).astype(np.float64)
+    n_lines, n_distinct, dup_chars, _ = _segment_dup_stats(lh, lseg, lchars, ndoc)
+    tot_chars = np.bincount(lseg, weights=lchars, minlength=ndoc)
+    dup_line_frac = np.where(
+        n_lines > 0, (n_lines - n_distinct) / np.maximum(n_lines, 1), 0.0
+    )
+    dup_line_char_frac = np.where(
+        tot_chars > 0, dup_chars / np.maximum(tot_chars, 1.0), 0.0
+    )
+
+    from raysketch.pipeline.dedup import _token_hashes
+
+    th, doffs = _token_hashes(text)
+    tseg = np.repeat(np.arange(ndoc, dtype=np.int64), np.diff(doffs))
+    if len(th) >= 2:
+        with np.errstate(over="ignore"):
+            g = th[:-1] * _2GRAM_P + th[1:]
+        valid = tseg[:-1] == tseg[1:]
+        g, gseg = g[valid], tseg[:-1][valid]
+    else:
+        g = np.empty(0, dtype=np.uint64)
+        gseg = np.empty(0, dtype=np.int64)
+    n2, _, _, max2 = _segment_dup_stats(g, gseg, np.zeros(len(g)), ndoc)
+    top2 = np.where(n2 > 0, max2 / np.maximum(n2, 1), 0.0)
+
+    batch = batch.append_column("r_dup_line_frac", pa.array(dup_line_frac, pa.float64()))
+    batch = batch.append_column(
+        "r_dup_line_char_frac", pa.array(dup_line_char_frac, pa.float64())
+    )
+    return batch.append_column("r_top2gram_frac", pa.array(top2, pa.float64()))
+
+
 _LANG_MARKERS = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
     "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "sich"],

@@ -233,3 +233,38 @@ def test_range_join_matches_bruteforce(ray_session):
     assert got["event_id"].tolist() == exp["event_id"].tolist()
     assert np.allclose(got["matched_ts_us"], exp["ts_us_r"])
     assert np.allclose(got["matched_value"], exp["value"])
+
+
+def test_repetition_signals_match_python_oracle():
+    """repetition_batch vs a per-doc Counter oracle on adversarial docs: empty,
+    single-line, all-duplicate, mixed-length lines, repeated 2-grams."""
+    from collections import Counter
+
+    import pyarrow as pa
+
+    from raysketch.pipeline.text import repetition_batch
+
+    rng = np.random.default_rng(3)
+    texts = ["", "one single line", "dup\ndup\ndup", "a b a b a b a b"]
+    for _ in range(40):
+        lines = [
+            " ".join(rng.choice(["w1", "w2", "w3", "tok4", "x"], size=rng.integers(0, 6)))
+            for _ in range(rng.integers(1, 8))
+        ]
+        texts.append("\n".join(lines))
+    out = repetition_batch(pa.table({"text": pa.array(texts)}))
+    for i, t in enumerate(texts):
+        lines = t.split("\n")
+        lc = Counter(lines)
+        n_lines, n_distinct = len(lines), len(lc)
+        exp_dup = (n_lines - n_distinct) / n_lines
+        chars = sum(len(l) for l in lines)
+        dup_chars = sum(len(l) for l in lines if lc[l] >= 2)
+        exp_char = dup_chars / chars if chars else 0.0
+        toks = t.split()
+        grams = Counter(zip(toks, toks[1:]))
+        n2 = sum(grams.values())
+        exp_top2 = max(grams.values()) / n2 if n2 else 0.0
+        assert out.column("r_dup_line_frac")[i].as_py() == exp_dup, (i, t)
+        assert abs(out.column("r_dup_line_char_frac")[i].as_py() - exp_char) < 1e-12
+        assert out.column("r_top2gram_frac")[i].as_py() == exp_top2, (i, t)
