@@ -68,10 +68,43 @@ def unpack_state(blob: bytes) -> tuple[str, dict[str, Any], list[bytes]]:
     return kind, meta, arrays
 
 
+def _ensure_registry() -> None:
+    """Import every sketch module so registration is not load-order dependent.
+    A fresh Ray worker deserializing a blob has only imported whatever the task
+    closure referenced — without this, `sketch_from_bytes` on (say) a counting
+    Bloom blob raised `unregistered sketch kind` in workers that never ran a
+    build stage. Idempotent and cheap after the first call."""
+    import importlib
+    import inspect
+
+    for mod in (
+        "bloom",
+        "counting_bloom",
+        "hll",
+        "cms",
+        "tdigest",
+        "kll",
+        "ddsketch",
+        "theta",
+        "mg",
+        "reservoir",
+    ):
+        m = importlib.import_module(f"raysketch.sketches.{mod}")
+        # register directly (not via import side effects — already-imported
+        # modules won't re-run their module body)
+        for _, cls in inspect.getmembers(m, inspect.isclass):
+            kind = getattr(cls, "kind", None)
+            if isinstance(kind, str) and hasattr(cls, "from_bytes") and cls.__module__ == m.__name__:
+                _REGISTRY.setdefault(kind, cls)
+
+
 def sketch_from_bytes(blob: bytes):
     """Deserialize any registered sketch from its ``to_bytes`` blob."""
     kind, _, _ = unpack_state(blob)
     cls = _REGISTRY.get(kind)
+    if cls is None:
+        _ensure_registry()
+        cls = _REGISTRY.get(kind)
     if cls is None:
         raise KeyError(f"unregistered sketch kind: {kind}")
     return cls.from_bytes(blob)

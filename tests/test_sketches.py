@@ -615,3 +615,23 @@ def test_bloom_cardinality_estimate():
     cb.delete_column(_keys(n // 2))  # first half deleted
     est = cb.estimate_cardinality()
     assert abs(est - n / 2) / (n / 2) < 0.05  # estimate tracks deletions
+
+
+def test_sketch_registry_self_populates():
+    """A fresh worker process may deserialize a blob without having imported the
+    producing sketch module — sketch_from_bytes must lazily populate the
+    registry rather than raise 'unregistered sketch kind' (the bloom_delete
+    contract query hit exactly this in a cold Ray worker)."""
+    from raysketch.sketches import base
+    from raysketch.sketches.counting_bloom import CountingBloom
+
+    cb = CountingBloom(100, 0.01)
+    cb.update_column(_keys(50))
+    blob = cb.to_bytes()
+    saved = dict(base._REGISTRY)
+    try:
+        base._REGISTRY.clear()
+        rt = base.sketch_from_bytes(blob)  # must self-heal, not KeyError
+        assert np.array_equal(rt._cnt, cb._cnt)
+    finally:
+        base._REGISTRY.update(saved)
