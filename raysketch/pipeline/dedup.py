@@ -265,9 +265,123 @@ def _pairwise_jaccard(
     return out
 
 
+def _sorted_unique_segments(h: np.ndarray, offs: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Sort + dedup every segment of ``(h, offs)`` in ONE lexsort pass (no
+    per-doc Python). Returns ``(values, seg_ids, per_seg_counts)``."""
+    nseg = len(offs) - 1
+    if len(h) == 0:
+        return h, np.empty(0, dtype=np.int64), np.zeros(nseg, dtype=np.int64)
+    d = np.diff(offs)
+    seg = np.repeat(np.arange(nseg, dtype=np.int64), d)
+    order = np.lexsort((h, seg))
+    hs, ss = h[order], seg[order]
+    keep = np.empty(len(hs), dtype=bool)
+    keep[0] = True
+    keep[1:] = (hs[1:] != hs[:-1]) | (ss[1:] != ss[:-1])
+    hu, su = hs[keep], ss[keep]
+    return hu, su, np.bincount(su, minlength=nseg)
+
+
+def _pack_u64_binary(values: np.ndarray, counts: np.ndarray) -> pa.Array:
+    """Pack segmented uint64 arrays into a pyarrow binary column (segment i gets
+    ``counts[i]`` 8-byte little-endian words) — zero per-row Python."""
+    byte_offs = np.zeros(len(counts) + 1, dtype=np.int32)
+    np.cumsum(counts * 8, out=byte_offs[1:])
+    return pa.Array.from_buffers(
+        pa.binary(),
+        len(counts),
+        [None, pa.py_buffer(byte_offs.tobytes()), pa.py_buffer(np.ascontiguousarray(values).tobytes())],
+    )
+
+
+def _unpack_u64_binary(arr) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of ``_pack_u64_binary`` for a (possibly chunked / large_)binary
+    column: one buffer copy, no per-row Python. Returns ``(values, offsets)``
+    in the ``_word_shingle_hashes`` convention (offsets in u64 words)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_large_binary(arr.type):
+        off_dtype = np.int64
+    else:
+        off_dtype = np.int32
+    bufs = arr.buffers()
+    raw_offs = np.frombuffer(bufs[1], dtype=off_dtype)[arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    payload = data[raw_offs[0] : raw_offs[-1]]
+    values = np.frombuffer(payload.tobytes(), dtype=np.uint64)
+    return values, (raw_offs - raw_offs[0]) // 8
+
+
+def _pairwise_jaccard_presorted(
+    ha: np.ndarray, oa: np.ndarray, hb: np.ndarray, ob: np.ndarray, chunk_bytes: int = 4 << 20
+) -> np.ndarray:
+    """``_pairwise_jaccard`` for inputs whose segments are ALREADY sorted+unique
+    (the packed-shingle-set payload path): skips both per-side row sorts and the
+    dedup pass — one padded scatter per side (padding with the max-valued
+    sentinel keeps rows sorted) + a single concatenated row sort."""
+    n = len(oa) - 1
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
+    out = np.empty(n, dtype=np.float64)
+    da, db = np.diff(oa), np.diff(ob)
+    mmax = int(max(da.max(initial=0), db.max(initial=0), 1))
+    rows_per_chunk = max(256, int(chunk_bytes // (16 * mmax)))
+
+    def pad(h, offs, d, lo, hi):
+        rows = hi - lo
+        dseg = d[lo:hi]
+        m = int(max(dseg.max(initial=0), 1))
+        P = np.full((rows, m), _PAIR_SENTINEL, dtype=np.uint64)
+        s, e = int(offs[lo]), int(offs[hi])
+        seg = h[s:e]
+        ridx = np.repeat(np.arange(rows, dtype=np.int64), dseg)
+        cidx = np.arange(len(seg), dtype=np.int64) - np.repeat(offs[lo:hi] - s, dseg)
+        P[ridx, cidx] = seg
+        return P
+
+    for lo in range(0, n, rows_per_chunk):
+        hi = min(lo + rows_per_chunk, n)
+        A, B = pad(ha, oa, da, lo, hi), pad(hb, ob, db, lo, hi)
+        na, nb = da[lo:hi], db[lo:hi]
+        C = np.concatenate([A, B], axis=1)
+        C.sort(axis=1)
+        inter = ((C[:, 1:] == C[:, :-1]) & (C[:, 1:] != _PAIR_SENTINEL)).sum(axis=1)
+        union = na + nb - inter
+        out[lo:hi] = np.where(union == 0, 1.0, inter / np.maximum(union, 1))
+    return out
+
+
+def _shingle_payload_map(text_col: str, id_col: str, shingle_k: int):
+    """payload_map for ``_attach_pair_payload``: replace candidate texts with
+    their packed sorted-unique shingle sets so (a) each candidate doc is
+    shingled ONCE, not once per pair it appears in, and (b) the pair joins ship
+    compact u×8-byte sets instead of raw text."""
+
+    def pack(batch: pa.Table) -> pa.Table:
+        h, offs = _word_shingle_hashes(batch.column(text_col).combine_chunks(), shingle_k)
+        hu, _, cnt = _sorted_unique_segments(h, offs)
+        return pa.table({id_col: batch.column(id_col), "sh": _pack_u64_binary(hu, cnt)})
+
+    def apply(ds):
+        return (
+            ds.map_batches(pack, batch_format="pyarrow", zero_copy_batch=True),
+            "sh",
+        )
+
+    return apply
+
+
 def minhash_signatures(texts: pa.Array, n_perm: int = 128, k: int = 3, seed: int = 7) -> np.ndarray:
     """(n_docs, n_perm) uint64 MinHash signatures."""
     hashes, offsets = _word_shingle_hashes(texts, k)
+    return _signatures_from_hashes(hashes, offsets, n_perm, seed)
+
+
+def _signatures_from_hashes(
+    hashes: np.ndarray, offsets: np.ndarray, n_perm: int = 128, seed: int = 7
+) -> np.ndarray:
+    """MinHash core over precomputed shingle hashes (lets callers that also need
+    the shingle sets — e.g. the size-filter ``u`` — shingle exactly once)."""
     n_docs = len(offsets) - 1
     rng = np.random.default_rng(seed)
     a = rng.integers(1, int(_MERSENNE61), size=n_perm, dtype=np.uint64)
@@ -362,7 +476,15 @@ def _hot_members(band_rows, id_col: str, extra_cols: tuple[str, ...] = (), broad
     return band_rows.map_batches(keep_hot, batch_format="pyarrow", zero_copy_batch=True), n_band_rows
 
 
-def _emit_pairs(members, id_col: str, extra_cols: tuple[str, ...] = (), max_bucket: int = 256, num_partitions: int | None = None):
+def _emit_pairs(
+    members,
+    id_col: str,
+    extra_cols: tuple[str, ...] = (),
+    max_bucket: int = 256,
+    num_partitions: int | None = None,
+    pair_filter=None,
+    emit_extras: bool = True,
+):
     """Distributed candidate-pair emission: HASH_SHUFFLE the hot-bucket member
     rows by bucket key so each output block holds whole buckets, then ONE
     vectorized task per block emits every within-bucket (a < b) pair — buckets
@@ -374,7 +496,14 @@ def _emit_pairs(members, id_col: str, extra_cols: tuple[str, ...] = (), max_buck
 
     Oversized buckets (degenerate keys: boilerplate shingles, all-zero simhash
     bands) are truncated to ``max_bucket`` members — O(bucket²) pair blowup is
-    capped at the source, same rule as the reference candidate cap."""
+    capped at the source, same rule as the reference candidate cap.
+
+    ``pair_filter(extras_a, extras_b) -> bool mask`` prunes candidate pairs
+    INSIDE the emission task, before anything enters the (a, b) dedup exchange —
+    used for the exactness-preserving PPJoin size/positional filters (a true
+    pair passes the filter in EVERY bucket it shares, so any-bucket survival +
+    dedup keeps it). ``emit_extras=False`` drops filter-only extras from the
+    output so the dedup groupby stays 2 int64 columns wide."""
     from ray.data.context import ShuffleStrategy
 
     if num_partitions is None:
@@ -385,7 +514,8 @@ def _emit_pairs(members, id_col: str, extra_cols: tuple[str, ...] = (), max_buck
     members.context.default_hash_shuffle_parallelism = num_partitions
     parts = members.repartition(num_blocks=num_partitions, keys=["key"])
     out_schema = {"a": pa.int64(), "b": pa.int64()}
-    for c in extra_cols:
+    out_extras = extra_cols if emit_extras else ()
+    for c in out_extras:
         out_schema[f"{c}_a"] = pa.int64()
         out_schema[f"{c}_b"] = pa.int64()
 
@@ -412,11 +542,18 @@ def _emit_pairs(members, id_col: str, extra_cols: tuple[str, ...] = (), max_buck
             ai = (starts[:, None] + iu[None, :]).ravel()
             bi = (starts[:, None] + ju[None, :]).ravel()
             keep = ids[ai] < ids[bi]  # ids ascend within a bucket; drops dups
-            cols["a"].append(ids[ai][keep])
-            cols["b"].append(ids[bi][keep])
-            for c, v in extras.items():
-                cols[f"{c}_a"].append(v[ai][keep])
-                cols[f"{c}_b"].append(v[bi][keep])
+            ai, bi = ai[keep], bi[keep]
+            if pair_filter is not None and len(ai):
+                mask = pair_filter(
+                    {c: v[ai] for c, v in extras.items()},
+                    {c: v[bi] for c, v in extras.items()},
+                )
+                ai, bi = ai[mask], bi[mask]
+            cols["a"].append(ids[ai])
+            cols["b"].append(ids[bi])
+            for c in out_extras:
+                cols[f"{c}_a"].append(extras[c][ai])
+                cols[f"{c}_b"].append(extras[c][bi])
         return pa.table(
             {
                 c: pa.array(
@@ -430,7 +567,7 @@ def _emit_pairs(members, id_col: str, extra_cols: tuple[str, ...] = (), max_buck
     raw = parts.map_batches(pairs_block, batch_format="pyarrow", batch_size=None)
     from ray.data.aggregate import Min
 
-    aggs = [Min(f"{c}_{s}", alias_name=f"{c}_{s}") for c in extra_cols for s in ("a", "b")]
+    aggs = [Min(f"{c}_{s}", alias_name=f"{c}_{s}") for c in out_extras for s in ("a", "b")]
     if not aggs:
         from ray.data.aggregate import Count
 
@@ -449,7 +586,15 @@ def _emit_pairs(members, id_col: str, extra_cols: tuple[str, ...] = (), max_buck
     return deduped.repartition(num_blocks=num_partitions)
 
 
-def _attach_pair_payload(pairs, ds, id_col: str, payload_col: str, n_pairs: int, broadcast_limit: int = 1_000_000):
+def _attach_pair_payload(
+    pairs,
+    ds,
+    id_col: str,
+    payload_col: str,
+    n_pairs: int,
+    broadcast_limit: int = 1_000_000,
+    payload_map=None,
+):
     """Bring each pair's two payloads (text / embedding) to the pair rows; the
     payloads themselves NEVER visit the driver in either regime.
 
@@ -460,8 +605,14 @@ def _attach_pair_payload(pairs, ds, id_col: str, payload_col: str, n_pairs: int,
     - larger: a PartitionedBloom over the pair ids (built with the library's own
       distributed build) broadcast-prefilters ``ds`` (no false negatives, ≤p
       extras — the inner join removes extras), so the joins partition only
-      candidate-sized inputs. The full corpus never enters a shuffle either way."""
-    np_ = _partitions_for(n_pairs, per_partition=500_000)
+      candidate-sized inputs. The full corpus never enters a shuffle either way.
+
+    ``payload_map(cand_ds) -> (ds, new_payload_col)`` transforms the CANDIDATE
+    rows (post-filter, so only docs that appear in ≥1 pair pay it) before the
+    joins — e.g. text → packed shingle sets. Join width is sized so the
+    downstream per-pair verify actually parallelizes (pairs are tiny rows but
+    verify is the compute-heavy stage)."""
+    np_ = _partitions_for(n_pairs, per_partition=25_000)
     narrow = ds.select_columns([id_col, payload_col])
     if n_pairs <= broadcast_limit:
         from raysketch.pipeline.probe import exact_semi_join
@@ -485,7 +636,14 @@ def _attach_pair_payload(pairs, ds, id_col: str, payload_col: str, n_pairs: int,
         pb, _ = build_partitioned_bloom(
             ids_ds, id_col, capacity=max(2 * n_pairs, 64), num_shards=16
         )
-        cand = bloom_semi_join(narrow, pb, id_col).materialize()  # big regime: avoid re-reading the corpus twice
+        cand = bloom_semi_join(narrow, pb, id_col)
+    if payload_map is not None:
+        cand, payload_col = payload_map(cand)
+        # the transformed payload feeds BOTH join sides — materialize so the
+        # (candidate-only) transform runs once, not once per side
+        cand = cand.materialize()
+    elif n_pairs > broadcast_limit:
+        cand = cand.materialize()  # big regime: avoid re-reading the corpus twice
     left = pairs.join(
         cand.rename_columns({id_col: "a", payload_col: f"{payload_col}_a"}),
         "inner",
@@ -672,21 +830,26 @@ def minhash_lsh_dedup(
     Every stage after the signature map is distributed — nothing funnels through
     the driver (web corpora are ~30% near-dup, so candidates are O(dataset)):
     band rows → native hot-bucket count → HASH_SHUFFLE pair emission per bucket
-    block → native (a,b) dedup → candidate texts attached via Bloom-prefiltered
-    hash joins → vectorized shingle-set Jaccard verify in ``map_batches`` →
-    distributed min-label propagation for clusters. Verification is EXACT
-    shingle-set Jaccard ≥ threshold on the candidates' texts, so LSH affects
-    recall but never precision."""
+    block (with the exact size-ratio prefilter ``min(u)/max(u) ≥ t`` — a
+    necessity for ``J ≥ t`` since ``J ≤ min/max``) → native (a,b) dedup →
+    candidate shingle SETS attached via Bloom-prefiltered hash joins (each
+    candidate shingled once, not once per pair) → vectorized presorted
+    Jaccard verify in ``map_batches`` → distributed min-label propagation for
+    clusters. Verification is EXACT shingle-set Jaccard ≥ threshold, so LSH
+    affects recall but never precision."""
 
     def bandrows(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).combine_chunks()
         ids = np.asarray(batch.column(id_col))
-        sig = minhash_signatures(texts, n_perm, shingle_k, seed)
+        h, offs = _word_shingle_hashes(texts, shingle_k)
+        u = _sorted_unique_segments(h, offs)[2]
+        sig = _signatures_from_hashes(h, offs, n_perm, seed)
         keys = _band_keys(sig, bands)
         return pa.table(
             {
                 "key": pa.array(keys.ravel()),
                 id_col: pa.array(np.repeat(ids, bands)),
+                "u": pa.array(np.repeat(u, bands)),
             }
         )
 
@@ -696,24 +859,44 @@ def minhash_lsh_dedup(
     members, n_band_rows = _hot_members(band_rows, id_col)
     if members is None:
         return pa.table(_EMPTY_CLUSTERS)
-    pairs = _emit_pairs(members, id_col, num_partitions=_partitions_for(n_band_rows)).materialize()
+
+    def size_filter(A: dict, B: dict) -> np.ndarray:
+        ua = A["u"].astype(np.float64)
+        ub = B["u"].astype(np.float64)
+        return np.minimum(ua, ub) >= threshold * np.maximum(ua, ub) - 1e-9
+
+    pairs = _emit_pairs(
+        members,
+        id_col,
+        extra_cols=("u",),
+        num_partitions=_partitions_for(n_band_rows),
+        pair_filter=size_filter,
+        emit_extras=False,
+    ).materialize()
     n_pairs = pairs.count()
     if n_pairs == 0:
         return pa.table(_EMPTY_CLUSTERS)
-    with_texts = _attach_pair_payload(pairs, ds, id_col, text_col, n_pairs)
+    with_sets = _attach_pair_payload(
+        pairs,
+        ds,
+        id_col,
+        text_col,
+        n_pairs,
+        payload_map=_shingle_payload_map(text_col, id_col, shingle_k),
+    )
 
     def verify(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-        ha, oa = _word_shingle_hashes(batch.column(f"{text_col}_a").combine_chunks(), shingle_k)
-        hb, ob = _word_shingle_hashes(batch.column(f"{text_col}_b").combine_chunks(), shingle_k)
-        jac = _pairwise_jaccard(ha, oa, hb, ob)
+        ha, oa = _unpack_u64_binary(batch.column("sh_a"))
+        hb, ob = _unpack_u64_binary(batch.column("sh_b"))
+        jac = _pairwise_jaccard_presorted(ha, oa, hb, ob)
         keep = pa.array(jac >= threshold)
         return pa.table(
             {"a": batch.column("a").filter(keep), "b": batch.column("b").filter(keep)}
         )
 
-    edges = with_texts.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    edges = with_sets.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True).materialize()
     n_edges = edges.count()
     if n_edges == 0:
         return pa.table(_EMPTY_CLUSTERS)
@@ -725,32 +908,28 @@ def minhash_lsh_dedup(
 # ---------------------------------------------------------------------------
 
 
-def _prefix_rows(h: np.ndarray, offs: np.ndarray, threshold: float) -> tuple[np.ndarray, np.ndarray]:
+def _prefix_rows(
+    h: np.ndarray, offs: np.ndarray, threshold: float
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Per-document prefix tokens for the Jaccard prefix filter (Chaudhuri et al.
     SSJoin 2006 / Bayardo et al. All-Pairs 2007): under ANY fixed global total
     order on tokens — here ascending 64-bit shingle hash, which needs no global
     frequency pass — two sets with ``J ≥ t`` must share a token within each
     side's first ``u − ⌈t·u⌉ + 1`` tokens (``u`` = unique-set size). Returns
-    ``(prefix_hashes, doc_indices)`` with every segment sorted + deduped in one
-    lexsort pass (no per-doc Python)."""
-    nseg = len(offs) - 1
+    ``(prefix_hashes, doc_indices, positions, set_sizes)`` per prefix row —
+    ``positions`` (0-based rank of the token in the doc's sorted unique set) and
+    ``set_sizes`` feed the PPJoin positional/size pair filters — with every
+    segment sorted + deduped in one lexsort pass (no per-doc Python)."""
     if len(h) == 0:
-        return h, np.empty(0, dtype=np.int64)
-    d = np.diff(offs)
-    seg = np.repeat(np.arange(nseg, dtype=np.int64), d)
-    order = np.lexsort((h, seg))
-    hs, ss = h[order], seg[order]
-    keep = np.empty(len(hs), dtype=bool)
-    keep[0] = True
-    keep[1:] = (hs[1:] != hs[:-1]) | (ss[1:] != ss[:-1])
-    hu, su = hs[keep], ss[keep]
-    cnt = np.bincount(su, minlength=nseg)
+        e = np.empty(0, dtype=np.int64)
+        return h, e, e, e
+    hu, su, cnt = _sorted_unique_segments(h, offs)
     plen = np.maximum(cnt - np.ceil(threshold * cnt).astype(np.int64) + 1, 0)
     plen[cnt == 0] = 0
     starts = np.concatenate([[0], np.cumsum(cnt)])
     pos = np.arange(len(hu), dtype=np.int64) - starts[su]
     keep2 = pos < plen[su]
-    return hu[keep2], su[keep2]
+    return hu[keep2], su[keep2], pos[keep2], cnt[su[keep2]]
 
 
 def jaccard_ngram_dedup(
@@ -770,10 +949,17 @@ def jaccard_ngram_dedup(
     only its ``u − ⌈t·u⌉ + 1`` smallest unique shingle hashes as (key, doc) rows
     — at t=0.8 that's ~20% of the shingle volume — and every qualifying pair
     provably shares a prefix key, so completeness is exact (unlike MinHash-LSH,
-    which misses with probability (1−s^r)^b). Downstream reuses the audited
-    scale-safe dedup machinery unchanged: native hot-key count → HASH_SHUFFLE
-    pair emission per bucket block → Bloom-prefiltered payload joins → one
-    vectorized exact-Jaccard verify → distributed connected components.
+    which misses with probability (1−s^r)^b). Emitted pairs pass the PPJoin
+    size + positional filters (Xiao et al. WWW'08) BEFORE the dedup exchange:
+    for a shared prefix token at sorted-set positions (i, j),
+    ``|A∩B| ≤ min(i,j) + min(u_a−i, u_b−j)`` and ``J ≥ t`` requires
+    ``|A∩B| ≥ t/(1+t)·(u_a+u_b)`` — both exact necessities, so no true pair is
+    lost (it passes in every bucket it shares). Downstream reuses the audited
+    scale-safe dedup machinery: native hot-key count → HASH_SHUFFLE pair
+    emission per bucket block → Bloom-prefiltered payload joins shipping packed
+    sorted shingle SETS (each candidate shingled once, not once per pair) →
+    vectorized presorted exact-Jaccard verify → distributed connected
+    components.
 
     The single approximation is the ``max_bucket`` truncation of degenerate
     posting lists (a shingle appearing in >256 docs' prefixes — boilerplate);
@@ -784,11 +970,13 @@ def jaccard_ngram_dedup(
         texts = batch.column(text_col).combine_chunks()
         ids = np.asarray(batch.column(id_col))
         h, offs = _word_shingle_hashes(texts, shingle_k)
-        ph, pseg = _prefix_rows(h, offs, threshold)
+        ph, pseg, ppos, pu = _prefix_rows(h, offs, threshold)
         return pa.table(
             {
                 "key": pa.array(ph.view(np.int64)),
                 id_col: pa.array(ids[pseg]),
+                "pos": pa.array(ppos),
+                "u": pa.array(pu),
             }
         )
 
@@ -798,25 +986,47 @@ def jaccard_ngram_dedup(
     members, n_rows = _hot_members(prefix_rows, id_col)
     if members is None:
         return pa.table(_EMPTY_CLUSTERS)
+
+    def ppjoin_filter(A: dict, B: dict) -> np.ndarray:
+        ua = A["u"].astype(np.float64)
+        ub = B["u"].astype(np.float64)
+        size_ok = np.minimum(ua, ub) >= threshold * np.maximum(ua, ub) - 1e-9
+        need = threshold / (1.0 + threshold) * (ua + ub) - 1e-9
+        cap = np.minimum(A["pos"], B["pos"]) + np.minimum(ua - A["pos"], ub - B["pos"])
+        return size_ok & (cap >= need)
+
     pairs = _emit_pairs(
-        members, id_col, max_bucket=max_bucket, num_partitions=_partitions_for(n_rows)
+        members,
+        id_col,
+        extra_cols=("pos", "u"),
+        max_bucket=max_bucket,
+        num_partitions=_partitions_for(n_rows),
+        pair_filter=ppjoin_filter,
+        emit_extras=False,
     ).materialize()
     n_pairs = pairs.count()
     if n_pairs == 0:
         return pa.table(_EMPTY_CLUSTERS)
-    with_texts = _attach_pair_payload(pairs, ds, id_col, text_col, n_pairs)
+    with_sets = _attach_pair_payload(
+        pairs,
+        ds,
+        id_col,
+        text_col,
+        n_pairs,
+        payload_map=_shingle_payload_map(text_col, id_col, shingle_k),
+    )
 
     def verify(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-        ha, oa = _word_shingle_hashes(batch.column(f"{text_col}_a").combine_chunks(), shingle_k)
-        hb, ob = _word_shingle_hashes(batch.column(f"{text_col}_b").combine_chunks(), shingle_k)
-        keep = pa.array(_pairwise_jaccard(ha, oa, hb, ob) >= threshold)
+        ha, oa = _unpack_u64_binary(batch.column("sh_a"))
+        hb, ob = _unpack_u64_binary(batch.column("sh_b"))
+        keep = pa.array(_pairwise_jaccard_presorted(ha, oa, hb, ob) >= threshold)
         return pa.table(
             {"a": batch.column("a").filter(keep), "b": batch.column("b").filter(keep)}
         )
 
-    edges = with_texts.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    edges = with_sets.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True).materialize()
     n_edges = edges.count()
     if n_edges == 0:
         return pa.table(_EMPTY_CLUSTERS)

@@ -122,14 +122,90 @@ def test_prefix_filter_completeness_property():
         offs.append(offs[-1] + len(base))
     h = np.concatenate(flat)
     offs = np.array(offs, dtype=np.int64)
-    ph, pseg = _prefix_rows(h, offs, t)
+    ph, pseg, ppos, pu = _prefix_rows(h, offs, t)
     prefixes = [set(ph[pseg == i].tolist()) for i in range(len(sets))]
+    for i in range(len(sets)):
+        assert (pu[pseg == i] == sets[i].size).all()
     for i in range(len(sets)):
         for j in range(i + 1, len(sets)):
             inter = np.intersect1d(sets[i], sets[j], assume_unique=True).size
             union = sets[i].size + sets[j].size - inter
             if union and inter / union >= t:
                 assert prefixes[i] & prefixes[j], (i, j)
+
+
+def test_ppjoin_filters_never_drop_true_pairs():
+    """The PPJoin size + positional bounds are exact necessities for J >= t:
+    brute-force every pair of random sets; for each TRUE pair and EVERY shared
+    prefix token, the filter must pass (completeness); and the positional
+    intersection cap must be a genuine upper bound on |A∩B| for all pairs."""
+    from raysketch.pipeline.dedup import _prefix_rows
+
+    rng = np.random.default_rng(5)
+    t = 0.8
+    sets, flat, offs = [], [], [0]
+    for _ in range(100):
+        base = rng.integers(0, 30, size=rng.integers(1, 20)).astype(np.uint64)
+        sets.append(np.unique(base))
+        flat.append(base)
+        offs.append(offs[-1] + len(base))
+    h = np.concatenate(flat)
+    offs = np.array(offs, dtype=np.int64)
+    ph, pseg, ppos, pu = _prefix_rows(h, offs, t)
+    need = lambda ua, ub: t / (1.0 + t) * (ua + ub) - 1e-9  # noqa: E731
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            inter = np.intersect1d(sets[i], sets[j], assume_unique=True).size
+            union = sets[i].size + sets[j].size - inter
+            jac = inter / union if union else 1.0
+            mi, mj = pseg == i, pseg == j
+            for w in set(ph[mi].tolist()) & set(ph[mj].tolist()):
+                pi = int(ppos[mi][ph[mi] == w][0])
+                pj = int(ppos[mj][ph[mj] == w][0])
+                ua, ub = sets[i].size, sets[j].size
+                cap = min(pi, pj) + min(ua - pi, ub - pj)
+                assert cap >= inter  # the bound is sound for EVERY pair
+                if jac >= t:  # ...and passes for every true pair
+                    assert min(ua, ub) >= t * max(ua, ub) - 1e-9
+                    assert cap >= need(ua, ub)
+
+
+def test_pack_unpack_u64_roundtrip_and_presorted_kernel():
+    from raysketch.pipeline.dedup import (
+        _pack_u64_binary,
+        _pairwise_jaccard,
+        _pairwise_jaccard_presorted,
+        _sorted_unique_segments,
+        _unpack_u64_binary,
+    )
+
+    rng = np.random.default_rng(9)
+    flat, offs = [], [0]
+    for _ in range(60):
+        seg = rng.integers(0, 50, size=rng.integers(1, 40)).astype(np.uint64)
+        flat.append(seg)
+        offs.append(offs[-1] + len(seg))
+    h = np.concatenate(flat)
+    offs = np.array(offs, dtype=np.int64)
+    hu, _, cnt = _sorted_unique_segments(h, offs)
+    packed = _pack_u64_binary(hu, cnt)
+    h2, o2 = _unpack_u64_binary(packed)
+    assert (h2 == hu).all() and (np.diff(o2) == cnt).all()
+    # sliced column (non-zero arr.offset) unpacks correctly too
+    h3, o3 = _unpack_u64_binary(packed.slice(10, 30))
+    start, end = int(np.cumsum(np.concatenate([[0], cnt]))[10]), int(
+        np.cumsum(np.concatenate([[0], cnt]))[40]
+    )
+    assert (h3 == hu[start:end]).all() and (np.diff(o3) == cnt[10:40]).all()
+    # presorted kernel == general kernel on (a_i, b_i) pairs
+    half = 30
+    oa = np.cumsum(np.concatenate([[0], cnt[:half]]))
+    ob = np.cumsum(np.concatenate([[0], cnt[half : 2 * half]]))
+    ha = hu[: oa[-1]]
+    hb = hu[int(np.cumsum(cnt[:half])[-1]) : int(np.cumsum(cnt[: 2 * half])[-1])]
+    got = _pairwise_jaccard_presorted(ha, oa, hb, ob, chunk_bytes=1 << 12)
+    ref = _pairwise_jaccard(ha, oa, hb, ob)
+    assert np.allclose(got, ref)
 
 
 def test_simhash_dedup(docs_ds):
