@@ -77,6 +77,38 @@ def _rank_bounds(ds, column: str, values) -> tuple[np.ndarray, np.ndarray]:
     return lo, hi
 
 
+def _count_members(ds, column: str, keys_ds, key_column: str, broadcast_limit: int = 5_000_000):
+    """Distributed ``(#rows of ds whose column ∈ keys_ds, #rows of ds)`` with the
+    broadcast↔join auto-switch: under ``broadcast_limit`` distinct keys the
+    sorted array broadcasts once via ``ray.put`` and each block counts hits with
+    one vectorized searchsorted (NO join exchange); beyond it the count comes
+    from a native ``left_semi`` hash join. Used by the invariant-row labelers so
+    their verification side never costs more than the operator being verified."""
+    import ray
+
+    n_keys = keys_ds.count()
+    if n_keys > broadcast_limit:
+        from raysketch.pipeline.probe import exact_semi_join_ds
+
+        hits = exact_semi_join_ds(ds, keys_ds, column, key_column=key_column).count()
+        return hits, ds.count()
+    keys = np.sort(keys_ds.to_pandas()[key_column].to_numpy())
+    ref = ray.put(keys)
+
+    def part(batch: pa.Table) -> pa.Table:
+        k = ray.get(ref)
+        x = np.asarray(batch.column(column))
+        if len(k) == 0:
+            h = 0
+        else:
+            idx = np.clip(np.searchsorted(k, x), 0, len(k) - 1)
+            h = int((k[idx] == x).sum())
+        return pa.table({"hits": [h], "n": [batch.num_rows]})
+
+    agg = ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True).sum(["hits", "n"])
+    return int(agg["sum(hits)"]), int(agg["sum(n)"])
+
+
 def _rank_within(qs, lo: np.ndarray, hi: np.ndarray, eps: float) -> np.ndarray:
     """True where target rank q falls inside [P(x<est) - eps, P(x<=est) + eps]
     (the interval form handles ties/discrete data exactly)."""
@@ -703,12 +735,13 @@ def q_bloom_semi_join(sf_dir: str):
     reported as its two-sided guarantee (oracle-checkable invariant row): every
     TRUE member is kept (kept_true = the exact semi-join count, missed_true = 0 —
     no false negatives) and the extras rate is ≤ 2p. The kept-rows labeling runs
-    distributed (native left_semi joins against the distinct key set)."""
+    distributed via ``_count_members`` (broadcast searchsorted under 5M distinct
+    keys, native left_semi join beyond)."""
     import pandas as pd
     from ray.data.aggregate import Count
 
     from raysketch.pipeline.partitioned import build_partitioned_bloom
-    from raysketch.pipeline.probe import bloom_semi_join, exact_semi_join_ds
+    from raysketch.pipeline.probe import bloom_semi_join
 
     li = _read(sf_dir, "lineitem", ["l_orderkey"])
     n = li.count()
@@ -718,10 +751,10 @@ def q_bloom_semi_join(sf_dir: str):
     distinct_li = (
         li.groupby("l_orderkey").aggregate(Count(alias_name="__n")).select_columns(["l_orderkey"]).materialize()
     )
-    kept_true = exact_semi_join_ds(kept, distinct_li, "o_orderkey", key_column="l_orderkey").count()
-    positives = exact_semi_join_ds(orders, distinct_li, "o_orderkey", key_column="l_orderkey").count()
-    negatives = orders.count() - positives
-    fp = kept.count() - kept_true
+    kept_true, n_kept = _count_members(kept, "o_orderkey", distinct_li, "l_orderkey")
+    positives, n_orders = _count_members(orders, "o_orderkey", distinct_li, "l_orderkey")
+    negatives = n_orders - positives
+    fp = n_kept - kept_true
     return pd.DataFrame(
         [
             {
@@ -809,6 +842,141 @@ def q_bloom_delete(sf_dir: str):
             }
         ]
     )
+
+
+def q_bloom_join_pushdown(sf_dir: str):
+    """Bloom-accelerated inner join — the reference library's canonical use
+    (semi-join prefiltering, SURVEY.md §2.4): build a partitioned Bloom over the
+    keys of the SELECTIVE side (orders with totalprice > 300k, ~1% of orders),
+    broadcast-prune lineitem with it BEFORE the join shuffle (no false negatives;
+    ≤p false positives), then the exact hash join + per-priority revenue
+    aggregate. The prefilter shrinks the join's probe side ~99% without changing
+    the result — the output is EXACT and plain-SQL-checkable (revenue summed in
+    integer cents so float association order can't perturb the hash compare)."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from raysketch.pipeline.partitioned import build_partitioned_bloom
+    from raysketch.pipeline.probe import bloom_semi_join
+
+    orders = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+        .filter(expr="o_totalprice > 300000.0")
+        .select_columns(["o_orderkey", "o_orderpriority"])
+        .materialize()
+    )
+    n_build = orders.count()
+    pb, _ = build_partitioned_bloom(orders, "o_orderkey", capacity=max(n_build, 64), num_shards=16)
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+    pruned = bloom_semi_join(li, pb, "l_orderkey")
+
+    def cents(batch: pa.Table) -> pa.Table:
+        x = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "cents": pa.array(np.rint(x * 100).astype(np.int64)),
+            }
+        )
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    joined = pruned.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True).join(
+        orders.rename_columns({"o_orderkey": "l_orderkey"}),
+        "inner",
+        max(8, min(32, ncpu)),
+        on=("l_orderkey",),
+    )
+    return (
+        joined.groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_items"), Sum("cents", alias_name="revenue_cents"))
+        .to_pandas()
+    )
+
+
+def q_hll_window(sf_dir: str):
+    """Approximate distinct users per tumbling 1-day window — the at-scale form
+    of ``window_distinct`` (per-window HLL partials merge in fixed size, so the
+    shuffle moves blobs, not user ids). Invariant row per window: estimate
+    within 3σ of the exact distinct count (itself computed distributed)."""
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    from raysketch.pipeline.build import build_keyed_sketch, sketch_table_to_dict
+    from raysketch.pipeline.events import _epoch_seconds
+    from raysketch.sketches.hll import HyperLogLog
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def wkey(batch: pa.Table) -> pa.Table:
+        epoch = _epoch_seconds(batch.column("ts"))
+        window = (epoch // 86400) * 86400
+        return pa.table(
+            {
+                "window_start": pa.array(window.astype(np.int64)),
+                "user_id": batch.column("user_id"),
+            }
+        )
+
+    keyed = ds.map_batches(wkey, batch_format="pyarrow", zero_copy_batch=True)
+    tbl = build_keyed_sketch(keyed, "window_start", "user_id", lambda: HyperLogLog(14))
+    sk = sketch_table_to_dict(tbl, "window_start")
+    pairs = keyed.groupby(["window_start", "user_id"]).aggregate(Count(alias_name="__n"))
+    exact = {
+        r["window_start"]: r["n_users"]
+        for r in pairs.groupby("window_start").aggregate(Count(alias_name="n_users")).take_all()
+    }
+    return pd.DataFrame(
+        [
+            {
+                "window_start": int(k),
+                "within_3sigma": bool(
+                    abs(v.estimate() - exact[int(k)]) / max(exact[int(k)], 1) <= _HLL_3SIGMA
+                ),
+            }
+            for k, v in sorted(sk.items(), key=lambda kv: int(kv[0]))
+        ]
+    )
+
+
+def q_top_tokens_per_lang(sf_dir: str):
+    """Exact top-5 tokens per lang: vectorized tokenize → in-batch (lang, token)
+    partial counts (the explode never leaves the task) → native groupby-sum →
+    ``top_k_per_group`` (keyed shuffle + vectorized segment-rank). The composed
+    form of token_counts_global★ + top_per_group★ over a skewed key."""
+    from ray.data.aggregate import Sum
+
+    from raysketch.pipeline.relational import top_k_per_group
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        texts = batch.column("text").combine_chunks()
+        toks = pc.utf8_split_whitespace(texts)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        ok = pc.greater(pc.utf8_length(flat), 0)
+        langs = np.repeat(np.asarray(batch.column("lang")), lens)[
+            ok.to_numpy(zero_copy_only=False)
+        ]
+        df = pd.DataFrame({"lang": langs, "token": np.asarray(flat.filter(ok))})
+        g = df.groupby(["lang", "token"], sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"], pa.string()),
+                "token": pa.array(g["token"], pa.string()),
+                "n": pa.array(g["n"], pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang", "token"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    out = top_k_per_group(counts, "lang", "n", k=5, descending=True, tiebreak_col="token")
+    return out.to_pandas()
 
 
 def q_hll_distinct(sf_dir: str):
@@ -912,8 +1080,6 @@ def q_theta_set_ops(sf_dir: str):
 
     from ray.data.aggregate import Count
 
-    from raysketch.pipeline.probe import exact_semi_join_ds
-
     orders = _read(sf_dir, "orders", ["o_orderkey"])
     li = _read(sf_dir, "lineitem", ["l_orderkey"])
     a = build_sketch(orders, "o_orderkey", lambda: ThetaSketch(4096))
@@ -921,11 +1087,12 @@ def q_theta_set_ops(sf_dir: str):
     inter = a.intersect_estimate(b)
     diff = a.difference_estimate(b)
     union = ThetaSketch.from_bytes(a.to_bytes()).merge(b).estimate()
-    # exact counterparts, computed distributed: distinct sets + native left_semi
+    # exact counterparts, computed distributed: distinct sets + membership count
+    # (broadcast searchsorted under the 5M switch, left_semi join beyond)
     o_d = orders.groupby("o_orderkey").aggregate(Count(alias_name="__n")).select_columns(["o_orderkey"]).materialize()
     l_d = li.groupby("l_orderkey").aggregate(Count(alias_name="__n")).select_columns(["l_orderkey"]).materialize()
-    na, nb = o_d.count(), l_d.count()
-    inter_exact = exact_semi_join_ds(o_d, l_d, "o_orderkey", key_column="l_orderkey").count()
+    nb = l_d.count()
+    inter_exact, na = _count_members(o_d, "o_orderkey", l_d, "l_orderkey")
     union_exact = na + nb - inter_exact
     exact = {
         "union": union_exact,
@@ -1336,6 +1503,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts_global": q_token_counts_global,
         "heavy_hitters": q_heavy_hitters,
         "reservoir_sample": q_reservoir_sample,
+        "bloom_join_pushdown": q_bloom_join_pushdown,
+        "top_tokens_per_lang": q_top_tokens_per_lang,
         # sketch / approximate (rows-only)
         "bloom_membership": q_bloom_membership,
         "bloom_membership_shuffle": q_bloom_membership_shuffle,
@@ -1343,6 +1512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_delete": q_bloom_delete,
         "hll_distinct": q_hll_distinct,
         "hll_by_lang": q_hll_by_lang,
+        "hll_window": q_hll_window,
         "cms_event_types": q_cms_event_types,
         "quantiles_tdigest": q_quantiles_tdigest,
         "quantiles_kll": q_quantiles_kll,
@@ -1460,6 +1630,22 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY o_totalprice DESC, o_orderkey) <= 3"
         ),
         "distinct_langs": "SELECT DISTINCT lang FROM documents",
+        "bloom_join_pushdown": (
+            "SELECT o_orderpriority, count(*)::BIGINT AS n_items, "
+            "sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS revenue_cents "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE o_totalprice > 300000 GROUP BY o_orderpriority"
+        ),
+        "top_tokens_per_lang": (
+            "SELECT lang, token, count(*)::BIGINT AS n FROM "
+            "(SELECT lang, unnest(regexp_extract_all(text, '\\S+')) AS token FROM documents) "
+            "GROUP BY lang, token "
+            "QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) <= 5"
+        ),
+        "hll_window": (
+            "SELECT (floor(epoch(ts))::BIGINT // 86400) * 86400 AS window_start, "
+            "true AS within_3sigma FROM events GROUP BY window_start"
+        ),
         "token_counts_global": (
             "SELECT token, count(*)::BIGINT AS n FROM "
             "(SELECT unnest(regexp_extract_all(text, '\\S+')) AS token FROM documents) "

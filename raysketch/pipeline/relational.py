@@ -36,7 +36,13 @@ def top_k_per_group(
     narrow = ds.select_columns(cols)
     narrow.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    parts = narrow.repartition(num_blocks=max(8, min(64, ncpu * 2)), keys=[key_col])
+    nparts = max(8, min(64, ncpu * 2))
+    # the captured context governs EVERY hash exchange on this chain (including
+    # an upstream groupby fused into the same plan) — without this, those
+    # exchanges fall back to the 200-partition default and pay ~200 aggregator
+    # actor spin-ups for data that fits a handful of blocks
+    narrow.context.default_hash_shuffle_parallelism = nparts
+    parts = narrow.repartition(num_blocks=nparts, keys=[key_col])
 
     def per_block(batch: pa.Table) -> pa.Table:
         n = batch.num_rows

@@ -323,3 +323,45 @@ def test_top_k_per_group(ray_session):
     df = tbl.to_pandas().sort_values(["k", "v", "id"], ascending=[True, False, True])
     exp = df.groupby("k").head(4).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_top_k_per_group_string_keys(ray_session):
+    """String group keys + string tiebreak (the top-tokens-per-lang shape), with
+    an upstream groupby fused into the same chain — exercises the captured-
+    context hash-shuffle parallelism cap."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from raysketch.pipeline.relational import top_k_per_group
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    langs = np.array(["en", "fr", "de"])[rng.integers(0, 3, n)]
+    toks = np.array([f"t{i:02d}" for i in rng.integers(0, 40, n)])
+    tbl = pa.table(
+        {
+            "lang": pa.array(langs.tolist(), pa.string()),
+            "token": pa.array(toks.tolist(), pa.string()),
+            "n": pa.array(np.ones(n, dtype=np.int64)),
+        }
+    )
+    counts = rd.from_arrow(tbl).repartition(4).groupby(["lang", "token"]).aggregate(
+        Sum("n", alias_name="n")
+    )
+    got = (
+        top_k_per_group(counts, "lang", "n", k=3, tiebreak_col="token")
+        .to_pandas()[["lang", "token", "n"]]
+        .sort_values(["lang", "n", "token"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    exp = (
+        tbl.to_pandas()
+        .groupby(["lang", "token"], as_index=False)["n"]
+        .sum()
+        .sort_values(["lang", "n", "token"], ascending=[True, False, True])
+        .groupby("lang")
+        .head(3)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
