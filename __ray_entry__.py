@@ -500,6 +500,68 @@ def q_reservoir_sample(sf_dir: str):
     )
 
 
+def q_reservoir_by_lang(sf_dir: str):
+    """Stratified (per-lang) uniform reservoir sampling — the keyed-sketch build
+    over reservoir summaries (fixed-size partials: the shuffle moves ≤k sampled
+    ids per (block, lang), never rows — the stratified-sampling shape for 10^12
+    docs). Oracle-checked invariant row per lang: sample size = min(k, n_lang),
+    items seen = n_lang exactly, and every sampled id verified to belong to its
+    lang by ONE vectorized distributed pass over documents."""
+    import pandas as pd
+    import ray
+
+    from raysketch.pipeline.build import build_keyed_sketch, sketch_table_to_dict
+    from raysketch.sketches.reservoir import ReservoirSample
+
+    k = 20
+    ds = _read(sf_dir, "documents", ["lang", "doc_id"])
+    tbl = build_keyed_sketch(ds, "lang", "doc_id", lambda: ReservoirSample(k, seed=42))
+    sk = sketch_table_to_dict(tbl, "lang")
+    langs = sorted(sk)
+    s_ids = np.array(
+        [int(i) for lang in langs for i in sk[lang].sample()], dtype=np.int64
+    )
+    s_lang_idx = np.array(
+        [li for li, lang in enumerate(langs) for _ in sk[lang].sample()], dtype=np.int64
+    )
+    order = np.argsort(s_ids)
+    s_ids, s_lang_idx = s_ids[order], s_lang_idx[order]
+    ref = ray.put((s_ids, s_lang_idx, np.array(langs)))
+
+    def check(batch: pa.Table) -> pa.Table:
+        sid, slang, larr = ray.get(ref)
+        ids = np.asarray(batch.column("doc_id"))
+        lv = np.asarray(batch.column("lang"))
+        cols = {}
+        if len(sid) == 0:
+            hit = np.zeros(0, dtype=np.int64)
+        else:
+            idx = np.clip(np.searchsorted(sid, ids), 0, len(sid) - 1)
+            m = sid[idx] == ids
+            ok = m & (larr[slang[idx]] == lv)
+            hit = np.bincount(slang[idx][ok], minlength=len(larr))
+        for li in range(len(larr)):
+            cols[f"m{li}"] = [int(hit[li]) if len(sid) else 0]
+        return pa.table(cols)
+
+    agg = ds.map_batches(check, batch_format="pyarrow", zero_copy_batch=True).sum(
+        [f"m{i}" for i in range(len(langs))]
+    )
+    return pd.DataFrame(
+        [
+            {
+                "lang": lang,
+                "sample_size": len(sk[lang].sample()),
+                "n_seen": int(sk[lang].n_seen),
+                "all_members_valid": bool(
+                    int(agg[f"sum(m{li})"]) == len(sk[lang].sample())
+                ),
+            }
+            for li, lang in enumerate(langs)
+        ]
+    )
+
+
 def q_distinct_langs(sf_dir: str):
     """Distinct values of one column (``ds.unique`` — a shuffle op)."""
     import pandas as pd
@@ -1503,6 +1565,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts_global": q_token_counts_global,
         "heavy_hitters": q_heavy_hitters,
         "reservoir_sample": q_reservoir_sample,
+        "reservoir_by_lang": q_reservoir_by_lang,
         "bloom_join_pushdown": q_bloom_join_pushdown,
         "top_tokens_per_lang": q_top_tokens_per_lang,
         # sketch / approximate (rows-only)
@@ -1668,6 +1731,11 @@ def oracle_sql() -> dict[str, str]:
         "reservoir_sample": (
             "SELECT 100::BIGINT AS sample_size, count(*)::BIGINT AS n_seen, "
             "true AS all_members_valid FROM lineitem"
+        ),
+        "reservoir_by_lang": (
+            "SELECT lang, least(20, count(*))::BIGINT AS sample_size, "
+            "count(*)::BIGINT AS n_seen, true AS all_members_valid "
+            "FROM documents GROUP BY lang"
         ),
         "bloom_membership": (
             "SELECT (SELECT count(*) FROM orders)::BIGINT AS test_count, "
