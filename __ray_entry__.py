@@ -1530,6 +1530,47 @@ def q_webpipeline(sf_dir: str):
     )
 
 
+def _mod_filter(ds, col: str, mod: int, keep_zero: bool):
+    """Stream-filter rows by ``col % mod == 0`` (or its complement) — a
+    vectorized mask map, no shuffle."""
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column(col))
+        mask = (ids % mod == 0) == keep_zero
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: docs with doc_id % 13 == 0 act as the
+    held-out eval set; every other doc sharing >= 1 distinct word 4-gram
+    with it is flagged with its distinct-overlap count. The broadcast-probe
+    pipeline is hash-only; the oracle states the same overlap in string
+    space (collision probability ~ (#distinct 4-grams)^2 / 2^64 —
+    negligible at any tested sf)."""
+    from raysketch.pipeline.decontam import decontaminate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    bench = _mod_filter(docs, "doc_id", 13, True)
+    corpus = _mod_filter(docs, "doc_id", 13, False)
+    return (
+        decontaminate(corpus, bench, n=4, min_overlap=1)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+
+
+def q_hot_ngrams(sf_dir: str):
+    """Corpus boilerplate detection: word 3-grams occurring in >= 5 distinct
+    documents, with their strings recovered via the second-scan hot-set
+    probe (strings never enter the wide exchange)."""
+    from raysketch.pipeline.decontam import hot_ngrams
+
+    docs = _read(sf_dir, "documents", ["text"])
+    return hot_ngrams(docs, n=3, min_docs=5)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -1568,6 +1609,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reservoir_by_lang": q_reservoir_by_lang,
         "bloom_join_pushdown": q_bloom_join_pushdown,
         "top_tokens_per_lang": q_top_tokens_per_lang,
+        "decontaminate": q_decontaminate,
+        "hot_ngrams": q_hot_ngrams,
         # sketch / approximate (rows-only)
         "bloom_membership": q_bloom_membership,
         "bloom_membership_shuffle": q_bloom_membership_shuffle,
@@ -1698,6 +1741,32 @@ def oracle_sql() -> dict[str, str]:
             "sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS revenue_cents "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "WHERE o_totalprice > 300000 GROUP BY o_orderpriority"
+        ),
+        "decontaminate": (
+            "WITH toks AS ("
+            "  SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS pos"
+            "  FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts FROM documents)"
+            "), ngrams AS ("
+            "  SELECT doc_id, tok || ' ' || lead(tok,1) OVER w || ' ' || "
+            "lead(tok,2) OVER w || ' ' || lead(tok,3) OVER w AS ng"
+            "  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)"
+            "), ng AS (SELECT DISTINCT doc_id, ng FROM ngrams WHERE ng IS NOT NULL), "
+            "bench AS (SELECT DISTINCT ng FROM ng WHERE doc_id % 13 = 0) "
+            "SELECT g.doc_id, count(*)::BIGINT AS overlap_ngrams "
+            "FROM ng g JOIN bench b USING (ng) WHERE g.doc_id % 13 <> 0 "
+            "GROUP BY g.doc_id HAVING count(*) >= 1"
+        ),
+        "hot_ngrams": (
+            "WITH toks AS ("
+            "  SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS pos"
+            "  FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts FROM documents)"
+            "), ngrams AS ("
+            "  SELECT doc_id, tok || ' ' || lead(tok,1) OVER w || ' ' || "
+            "lead(tok,2) OVER w AS ng"
+            "  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)"
+            ") SELECT ng AS ngram, count(DISTINCT doc_id)::BIGINT AS n_docs "
+            "FROM ngrams WHERE ng IS NOT NULL "
+            "GROUP BY ng HAVING count(DISTINCT doc_id) >= 5"
         ),
         "top_tokens_per_lang": (
             "SELECT lang, token, count(*)::BIGINT AS n FROM "

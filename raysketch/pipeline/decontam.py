@@ -1,0 +1,226 @@
+"""Benchmark decontamination and corpus-boilerplate (hot n-gram) detection.
+
+Two webtext-pipeline operators the reference engine's membership machinery
+points at but never ships (its whitelist/contains workload is the same
+shape — build a set from one corpus, probe another; simple_benchmark.cpp
+whitelist reader + confusion loop):
+
+- ``decontaminate``: flag corpus documents sharing >= ``min_overlap``
+  distinct word n-grams with a held-out benchmark/eval set (the standard
+  n-gram-overlap decontamination used for LLM training corpora).
+- ``hot_ngrams``: find n-grams occurring in >= ``min_docs`` distinct
+  documents (site boilerplate, license headers, nav text) and recover
+  their strings — the input to boilerplate stripping.
+
+Both tokenize once per block with the same whitespace/xxh64 convention as
+``raysketch.pipeline.dedup`` and stay hash-only through every wide
+exchange; n-gram *strings* are materialized only for the (small,
+threshold-bounded) hot set, via a second scan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from raysketch.hashing import column_spans, xxh64_vec
+
+_NGRAM_P = np.uint64(0x9E3779B185EBCA87)
+
+
+def _doc_tokens(texts: pa.Array) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+    """Whitespace tokens of every doc: ``(flat_tokens, token_hashes,
+    doc_offsets)`` with empty tokens dropped. The hash side is identical to
+    ``dedup._token_hashes(seed=0)``; the flat Arrow token array is kept so
+    callers can recover n-gram *strings* by position."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    lists = pc.utf8_split_whitespace(texts)
+    offs = np.asarray(lists.offsets).astype(np.int64)
+    flat = lists.values
+    data, starts, lengths = column_spans(flat)
+    nonempty = lengths > 0
+    th = xxh64_vec(data, starts, lengths, 0)[nonempty]
+    cs = np.zeros(len(nonempty) + 1, dtype=np.int64)
+    np.cumsum(nonempty, out=cs[1:])
+    d = cs[offs[1:]] - cs[offs[:-1]]
+    doc_offs = np.zeros(len(d) + 1, dtype=np.int64)
+    np.cumsum(d, out=doc_offs[1:])
+    if not bool(nonempty.all()):
+        flat = flat.filter(pa.array(nonempty))
+    return flat, th, doc_offs
+
+
+def _ngram_occurrences(
+    th: np.ndarray, doc_offs: np.ndarray, n: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All full-width word n-gram occurrences: ``(start_token_idx, hash,
+    doc_idx)``. Docs with fewer than ``n`` tokens emit NOTHING — exactly the
+    SQL ``lead()``-window n-gram semantics (no short-doc special case, unlike
+    ``dedup._word_shingle_hashes``), so a string-level oracle matches."""
+    T = len(th)
+    ndoc = len(doc_offs) - 1
+    if T < n or ndoc == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, np.empty(0, dtype=np.uint64), e
+    d = np.diff(doc_offs)
+    docid = np.repeat(np.arange(ndoc, dtype=np.int64), d)
+    valid = docid[: T - n + 1] == docid[n - 1 :]
+    acc = np.zeros(T - n + 1, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for pos in range(n):
+            t = th[pos : T - n + 1 + pos]
+            r = np.uint64((13 * pos + 7) % 64)
+            acc = acc * _NGRAM_P + ((t << r) | (t >> np.uint64(64 - int(r))))
+    starts = np.nonzero(valid)[0].astype(np.int64)
+    return starts, acc[valid], docid[starts]
+
+
+def _per_doc_distinct(h: np.ndarray, doc: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct (doc, hash) incidences, one vectorized lexsort pass."""
+    if len(h) == 0:
+        return h, doc
+    order = np.lexsort((h, doc))
+    hs, ds = h[order], doc[order]
+    first = np.ones(len(hs), dtype=bool)
+    first[1:] = (hs[1:] != hs[:-1]) | (ds[1:] != ds[:-1])
+    return hs[first], ds[first]
+
+
+def _in_sorted(sorted_vals: np.ndarray, probe: np.ndarray) -> np.ndarray:
+    """Boolean membership of ``probe`` in an ascending-sorted u64 array."""
+    if len(sorted_vals) == 0 or len(probe) == 0:
+        return np.zeros(len(probe), dtype=bool)
+    idx = np.searchsorted(sorted_vals, probe)
+    idx[idx == len(sorted_vals)] = 0
+    return sorted_vals[idx] == probe
+
+
+def benchmark_ngram_hashes(
+    bench: "ray.data.Dataset", text_col: str = "text", n: int = 4
+) -> np.ndarray:
+    """Sorted distinct n-gram hashes of a benchmark/eval set.
+
+    Distinct is taken per block task-side; the driver only unions the
+    per-block uniques. Benchmark suites are small by nature (10^5–10^7
+    n-grams ≪ the corpus being decontaminated), so the result is broadcast
+    via ``ray.put`` — the same small-side regime as the bloom/semi-join
+    broadcast paths."""
+
+    def block_unique(batch: pa.Table) -> pa.Table:
+        _, th, offs = _doc_tokens(batch.column(text_col))
+        _, h, _ = _ngram_occurrences(th, offs, n)
+        return pa.table({"h": np.unique(h).view(np.int64)})
+
+    parts = [
+        np.asarray(b.column("h")).view(np.uint64)
+        for b in bench.map_batches(
+            block_unique, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow")
+    ]
+    if not parts:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(np.concatenate(parts))
+
+
+def decontaminate(
+    corpus: "ray.data.Dataset",
+    bench: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+    min_overlap: int = 1,
+) -> "ray.data.Dataset":
+    """Rows ``(id_col, overlap_ngrams)`` for corpus docs sharing at least
+    ``min_overlap`` DISTINCT word n-grams with the benchmark set.
+
+    Scale shape: the benchmark n-gram hash set is broadcast once
+    (``ray.put``), the corpus streams through one ``map_batches`` doing a
+    sorted-array membership probe — no shuffle, no driver funnel, per-task
+    memory O(|bench|). Overlap counting is per-doc-distinct (a doc repeating
+    one contaminated n-gram 50× counts once), matching the SQL
+    ``COUNT(DISTINCT)`` semantics."""
+    bench_sorted = benchmark_ngram_hashes(bench, text_col=text_col, n=n)
+    ref = ray.put(bench_sorted)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        bs = ray.get(ref)
+        _, th, offs = _doc_tokens(batch.column(text_col))
+        _, h, doc = _ngram_occurrences(th, offs, n)
+        hd, dd = _per_doc_distinct(h, doc)
+        hits = _in_sorted(bs, hd)
+        overlap = np.bincount(dd[hits], minlength=batch.num_rows).astype(np.int64)
+        keep = overlap >= min_overlap
+        return pa.table(
+            {
+                id_col: np.asarray(batch.column(id_col))[keep],
+                "overlap_ngrams": overlap[keep],
+            }
+        )
+
+    return corpus.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def hot_ngrams(
+    docs: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    n: int = 3,
+    min_docs: int = 5,
+) -> pa.Table:
+    """Corpus-level boilerplate: ``(ngram, n_docs)`` for every word n-gram
+    appearing in >= ``min_docs`` DISTINCT documents.
+
+    Two hash-only passes: (1) per-block per-doc-distinct incidence counts
+    (8-byte rows) → native groupby-sum → threshold (the only wide exchange
+    ships ``(hash, partial_count)`` int64 pairs, never strings); (2) a
+    re-scan recovers each hot hash's string from its first occurrence,
+    filtered task-side against the broadcast hot set. The final join runs on
+    the driver over the threshold-bounded hot table only (boilerplate
+    n-grams in >=K docs are a tiny fraction of the n-gram universe at any
+    corpus size — that bound, not the corpus, sizes the driver step)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, th, offs = _doc_tokens(batch.column(text_col))
+        _, h, doc = _ngram_occurrences(th, offs, n)
+        hd, _ = _per_doc_distinct(h, doc)
+        uh, c = np.unique(hd, return_counts=True)
+        return pa.table({"h": uh.view(np.int64), "c": c.astype(np.int64)})
+
+    counts = (
+        docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("h")
+        .aggregate(Sum("c", alias_name="n_docs"))
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t.column("n_docs"), min_docs)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .to_pandas()
+    )
+    hot_sorted = np.sort(counts["h"].to_numpy().view(np.uint64))
+    hot_ref = ray.put(hot_sorted)
+
+    def recover(batch: pa.Table) -> pa.Table:
+        hs = ray.get(hot_ref)
+        flat, th, offs = _doc_tokens(batch.column(text_col))
+        starts, h, _ = _ngram_occurrences(th, offs, n)
+        m = _in_sorted(hs, h)
+        hm, sm = h[m], starts[m]
+        uh, idx = np.unique(hm, return_index=True)
+        # <= |hot| iterations per block, each a tiny n-token slice join
+        strings = [" ".join(flat[j : j + n].to_pylist()) for j in sm[idx]]
+        return pa.table({"h": uh.view(np.int64), "ngram": strings})
+
+    rec = (
+        docs.map_batches(recover, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .drop_duplicates("h")
+    )
+    out = counts.merge(rec, on="h")[["ngram", "n_docs"]]
+    out = out.sort_values("ngram", kind="mergesort", ignore_index=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

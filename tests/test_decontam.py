@@ -1,0 +1,94 @@
+"""Decontamination + hot-ngram operators (raysketch.pipeline.decontam)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from raysketch.pipeline.decontam import (
+    _doc_tokens,
+    _ngram_occurrences,
+    _per_doc_distinct,
+    decontaminate,
+    hot_ngrams,
+)
+
+
+def _py_ngrams(text: str, n: int) -> list[str]:
+    toks = text.split()
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+def test_ngram_occurrences_sql_parity():
+    """Full-width n-grams only; docs with < n tokens emit NOTHING (the SQL
+    lead()-window semantics), and hash-distinctness matches string-distinctness
+    on a small vocabulary."""
+    texts = pa.array(["a b c d", "x y", "", "a b c", "p  q   r s"])
+    _, th, offs = _doc_tokens(texts)
+    starts, h, doc = _ngram_occurrences(th, offs, 3)
+    # doc0: 2 trigrams; doc1: 0 (2 toks); doc2: 0; doc3: 1; doc4: 2 (ws runs)
+    assert np.bincount(doc, minlength=5).tolist() == [2, 0, 0, 1, 2]
+    py = sum((_py_ngrams(t.as_py(), 3) for t in texts), [])
+    # distinct hash count == distinct string count (no collisions here)
+    assert len(np.unique(h)) == len(set(py))
+    # equal strings -> equal hashes: "a b c" appears in doc0 and doc3
+    by_doc = {d: set(h[doc == d]) for d in range(5)}
+    assert by_doc[0] & by_doc[3]
+
+
+def test_per_doc_distinct():
+    h = np.array([5, 5, 7, 5, 7, 7], dtype=np.uint64)
+    doc = np.array([0, 0, 0, 1, 1, 1], dtype=np.int64)
+    hd, dd = _per_doc_distinct(h, doc)
+    assert sorted(zip(dd.tolist(), hd.tolist())) == [(0, 5), (0, 7), (1, 5), (1, 7)]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_decontaminate_planted():
+    """Bench doc shares an exact 4-gram window with two corpus docs; counts are
+    per-doc-distinct (doc 2 repeats the contaminated window but counts each
+    distinct 4-gram once)."""
+    import ray.data as rd
+
+    bench = rd.from_arrow(pa.table({"doc_id": [100], "text": ["q1 q2 q3 q4 q5"]}))
+    corpus = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": [
+                    "z0 q1 q2 q3 q4 z1",  # one bench 4-gram
+                    "c0 c1 c2 c3 c4 c5",  # clean
+                    "q1 q2 q3 q4 q5 q1 q2 q3 q4 q5",  # both 4-grams, repeated
+                    "q4 q3 q2 q1",  # right tokens, wrong order
+                ],
+            }
+        )
+    )
+    out = (
+        decontaminate(corpus, bench, n=4, min_overlap=1)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert out["doc_id"].tolist() == [0, 2]
+    # doc2 text has 7 windows but only 2 distinct bench 4-grams
+    assert out["overlap_ngrams"].tolist() == [1, 2]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hot_ngrams_matches_python_reference():
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = [" ".join(rng.choice(vocab, size=30)) for _ in range(60)]
+    ds = rd.from_arrow(pa.table({"text": texts})).repartition(4)
+    out = hot_ngrams(ds, n=2, min_docs=8)
+    # pure-Python distinct-doc counts
+    from collections import Counter
+
+    c = Counter()
+    for t in texts:
+        c.update(set(_py_ngrams(t, 2)))
+    truth = sorted((g, n) for g, n in c.items() if n >= 8)
+    got = list(zip(out.column("ngram").to_pylist(), out.column("n_docs").to_pylist()))
+    assert got == truth
+    assert len(truth) > 5  # fixture actually exercises the threshold
