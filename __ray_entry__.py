@@ -1571,6 +1571,64 @@ def q_hot_ngrams(sf_dir: str):
     return hot_ngrams(docs, n=3, min_docs=5)
 
 
+def q_rare_tokens(sf_dir: str):
+    """Corpus-frequency rare-token quality signal on a planted fixture: each doc
+    gets one 'm' token (df ≈ n_docs/40), one 'r' token (df ≈ n_docs/80) and
+    doc_id%4 copies of a doc-unique 'u' token (df=1). With min_df=10 the
+    rare/common split depends on sf, and the oracle derives it from first
+    principles (full df computation + join), so the whole two-pass pipeline is
+    value-checked."""
+    from raysketch.pipeline.text import rare_token_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def aug(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"))
+        texts = [
+            f"{t} m{i % 40} r{i % 80}" + f" u{i}" * (i % 4)
+            for i, t in zip(ids, batch.column("text").to_pylist())
+        ]
+        return pa.table({"doc_id": ids, "text": texts})
+
+    aug_ds = docs.map_batches(aug, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        rare_token_stats(aug_ds, min_df=10)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+
+
+def q_pii_redact(sf_dir: str):
+    """Vectorized RE2 pattern redaction on planted emails (plus a no-TLD decoy
+    that must NOT match); per-row match counts and redacted lengths are exact
+    integers the SQL oracle reproduces with the same regex."""
+    from raysketch.pipeline.text import redact_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def aug(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"))
+        texts = []
+        for i, t in zip(ids, batch.column("text").to_pylist()):
+            if i % 3 == 0:
+                t += f" contact user{i}@example.com"
+            if i % 5 == 0:
+                t += f" admin{i}@test.org x"
+            if i % 7 == 0:
+                t += f" ping{i}@nodot"
+            texts.append(t)
+        return pa.table({"doc_id": ids, "text": texts})
+
+    out = docs.map_batches(aug, batch_format="pyarrow", zero_copy_batch=True).map_batches(
+        redact_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return (
+        out.select_columns(["doc_id", "n_matches", "redacted_len"])
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -1611,6 +1669,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens_per_lang": q_top_tokens_per_lang,
         "decontaminate": q_decontaminate,
         "hot_ngrams": q_hot_ngrams,
+        "rare_tokens": q_rare_tokens,
+        "pii_redact": q_pii_redact,
         # sketch / approximate (rows-only)
         "bloom_membership": q_bloom_membership,
         "bloom_membership_shuffle": q_bloom_membership_shuffle,
@@ -1755,6 +1815,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT g.doc_id, count(*)::BIGINT AS overlap_ngrams "
             "FROM ng g JOIN bench b USING (ng) WHERE g.doc_id % 13 <> 0 "
             "GROUP BY g.doc_id HAVING count(*) >= 1"
+        ),
+        "rare_tokens": (
+            "WITH aug AS ("
+            "  SELECT doc_id, text || ' m' || (doc_id % 40)::VARCHAR || ' r' || "
+            "(doc_id % 80)::VARCHAR || repeat(' u' || doc_id::VARCHAR, (doc_id % 4)::INT) AS text"
+            "  FROM documents"
+            "), toks AS ("
+            "  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok FROM aug"
+            "), dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok) "
+            "SELECT t.doc_id, count(*)::BIGINT AS n_tokens, "
+            "count(*) FILTER (WHERE d.df < 10)::BIGINT AS n_rare "
+            "FROM toks t JOIN dfreq d USING (tok) GROUP BY t.doc_id"
+        ),
+        "pii_redact": (
+            "WITH aug AS ("
+            "  SELECT doc_id, text"
+            "  || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id::VARCHAR || '@example.com' ELSE '' END"
+            "  || CASE WHEN doc_id % 5 = 0 THEN ' admin' || doc_id::VARCHAR || '@test.org x' ELSE '' END"
+            "  || CASE WHEN doc_id % 7 = 0 THEN ' ping' || doc_id::VARCHAR || '@nodot' ELSE '' END AS text"
+            "  FROM documents) "
+            "SELECT doc_id, "
+            "len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT AS n_matches, "
+            "length(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', "
+            "'[REDACTED]', 'g'))::BIGINT AS redacted_len FROM aug"
         ),
         "hot_ngrams": (
             "WITH toks AS ("

@@ -251,3 +251,164 @@ def fingerprint_batch(batch: pa.Table, col: str = "text", out: str = "fingerprin
     for exact dedup. Vectorized; deterministic."""
     h = hash_column(batch.column(col).combine_chunks(), algo="xxh64", seed=0)
     return batch.append_column(out, pa.array(h))
+
+
+# ---------------------------------------------------------------------------
+# corpus-frequency quality scoring + pattern redaction
+# ---------------------------------------------------------------------------
+
+
+def rare_token_stats(
+    docs,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 10,
+    common_switch: int = 5_000_000,
+):
+    """Per-doc rare-token counts: ``(id_col, n_tokens, n_rare)`` where
+    ``n_rare`` is the number of token OCCURRENCES whose corpus document
+    frequency is below ``min_df`` — the OOV/misspelling-rate quality signal
+    of CCNet-style filtering, exactly (no LM, no floats, SQL-checkable).
+
+    Scale shape: pass 1 computes df hash-only (per-doc-distinct incidences →
+    8-byte-row groupby-sum). The probe side then flags the COMMON complement:
+    ``|{t : df_t >= K}| <= (Σ_t df_t)/K``, so the broadcast side is bounded by
+    corpus_size/K regardless of vocabulary size — rare tokens (the unbounded
+    Zipf tail) never ship anywhere. If the common set still exceeds
+    ``common_switch`` the probe switches to a distributed hash join on token
+    hash (same regime split as the semi/anti-join and exact-dedup paths).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from raysketch.pipeline.decontam import _doc_tokens, _in_sorted, _per_doc_distinct
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        _, th, offs = _doc_tokens(batch.column(text_col))
+        doc = np.repeat(np.arange(len(offs) - 1, dtype=np.int64), np.diff(offs))
+        hd, _ = _per_doc_distinct(th, doc)
+        uh, c = np.unique(hd, return_counts=True)
+        return pa.table({"h": uh.view(np.int64), "c": c.astype(np.int64)})
+
+    df = (
+        docs.map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("h")
+        .aggregate(Sum("c", alias_name="df"))
+    )
+    common = df.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("df"), min_df)).select(["h"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    n_common = common.count()
+
+    if n_common <= common_switch:
+        parts = [
+            np.asarray(b.column("h")).view(np.uint64)
+            for b in common.iter_batches(batch_format="pyarrow")
+        ]
+        cs = np.sort(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
+        ref = ray.put(cs)
+
+        def score(batch: pa.Table) -> pa.Table:
+            csr = ray.get(ref)
+            _, th, offs = _doc_tokens(batch.column(text_col))
+            n_tokens = np.diff(offs)
+            doc = np.repeat(np.arange(len(offs) - 1, dtype=np.int64), n_tokens)
+            m = _in_sorted(csr, th)
+            ncom = np.bincount(doc[m], minlength=batch.num_rows)
+            return pa.table(
+                {
+                    id_col: batch.column(id_col),
+                    "n_tokens": n_tokens.astype(np.int64),
+                    "n_rare": (n_tokens - ncom).astype(np.int64),
+                }
+            )
+
+        return docs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+    # distributed-join regime: explode per-doc occurrence counts of each token
+    # hash (pre-aggregated in-batch: one row per (doc, distinct token)), join
+    # the full df table (every token matches — and joining the aggregate output
+    # directly keeps the right side's schema known to the join operator; a
+    # filtered map_batches right side can hand Acero schema-less empty
+    # partitions), re-aggregate per doc with the df>=K test done post-join
+    def occ_partial(batch: pa.Table) -> pa.Table:
+        _, th, offs = _doc_tokens(batch.column(text_col))
+        n_tokens = np.diff(offs)
+        doc = np.repeat(np.arange(len(offs) - 1, dtype=np.int64), n_tokens)
+        order = np.lexsort((th, doc))
+        hs, ds_ = th[order], doc[order]
+        first = np.ones(len(hs), dtype=bool)
+        first[1:] = (hs[1:] != hs[:-1]) | (ds_[1:] != ds_[:-1])
+        bounds = np.append(np.nonzero(first)[0], len(hs))
+        occ = np.diff(bounds)
+        ids = np.asarray(batch.column(id_col))
+        return pa.table(
+            {
+                id_col: ids[ds_[first]],
+                "h": hs[first].view(np.int64),
+                "occ": occ.astype(np.int64),
+                "nt": n_tokens[ds_[first]].astype(np.int64),
+            }
+        )
+
+    import ray as _ray
+
+    npart = max(8, min(64, int(_ray.cluster_resources().get("CPU", 8))))
+    joined = docs.map_batches(
+        occ_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).join(df, "inner", npart, on=("h",))
+
+    def reagg(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col))
+        occ = np.asarray(batch.column("occ"))
+        nt = np.asarray(batch.column("nt"))
+        com = np.asarray(batch.column("df")) >= min_df
+        uid, inv = np.unique(ids, return_inverse=True)
+        ncom = np.bincount(inv, weights=np.where(com, occ, 0)).astype(np.int64)
+        # n_tokens of a doc rides every row; max-per-doc recovers it
+        ntok = np.zeros(len(uid), dtype=np.int64)
+        np.maximum.at(ntok, inv, nt)
+        return pa.table({id_col: uid, "n_tokens": ntok, "__ncom": ncom})
+
+    from ray.data.aggregate import Max, Sum as _Sum
+
+    per_doc = (
+        joined.map_batches(reagg, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(id_col)
+        .aggregate(_Sum("__ncom", alias_name="__ncom"), Max("n_tokens", alias_name="n_tokens"))
+    )
+    return per_doc.map_batches(
+        lambda t: pa.table(
+            {
+                id_col: t.column(id_col),
+                "n_tokens": t.column("n_tokens"),
+                "n_rare": pc.subtract(t.column("n_tokens"), t.column("__ncom")),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def redact_batch(
+    batch: pa.Table,
+    col: str = "text",
+    pattern: str = _EMAIL_RE,
+    replacement: str = "[REDACTED]",
+) -> pa.Table:
+    """PII-style pattern redaction, fully vectorized (Arrow RE2 kernels):
+    counts matches per row and replaces ALL of them. Adds ``n_matches`` and
+    ``redacted_len`` and rewrites ``col`` in place. RE2 on both Arrow and
+    DuckDB makes the per-row counts/lengths SQL-oracle-checkable."""
+    txt = batch.column(col).combine_chunks()
+    n = pc.cast(pc.count_substring_regex(txt, pattern), pa.int64())
+    red = pc.replace_substring_regex(txt, pattern, replacement)
+    out = batch.set_column(batch.schema.get_field_index(col), col, red)
+    out = out.append_column("n_matches", n)
+    return out.append_column("redacted_len", pc.cast(pc.utf8_length(red), pa.int64()))
