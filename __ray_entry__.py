@@ -1629,6 +1629,44 @@ def q_pii_redact(sf_dir: str):
     )
 
 
+def q_normalize_text(sf_dir: str):
+    """Canonical normalization (lower → collapse whitespace → trim) with a
+    messiness-planting fixture (mixed case, tabs, runs of spaces, padding) so
+    every kernel actually fires; byte-compared against the SQL chain."""
+    from raysketch.pipeline.text import normalize_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def mess(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"))
+        texts = [
+            "  " + (t.upper() if i % 3 == 0 else t).replace(" ", "\t ", 2) + "   "
+            if i % 2 == 0
+            else t
+            for i, t in zip(ids, batch.column("text").to_pylist())
+        ]
+        return pa.table({"doc_id": ids, "text": texts})
+
+    out = docs.map_batches(mess, batch_format="pyarrow", zero_copy_batch=True).map_batches(
+        normalize_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return out.to_pandas().sort_values("doc_id", ignore_index=True)
+
+
+def q_dup_spans(sf_dir: str):
+    """Exact-substring duplication stats (16-char windows, df>=2 across docs)
+    — the character-level dedup signal; hashes on the Ray side, strings in
+    the oracle (ASCII corpus → byte windows ≡ char windows)."""
+    from raysketch.pipeline.decontam import dup_span_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return (
+        dup_span_stats(docs, window=16)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -1671,6 +1709,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hot_ngrams": q_hot_ngrams,
         "rare_tokens": q_rare_tokens,
         "pii_redact": q_pii_redact,
+        "normalize_text": q_normalize_text,
+        "dup_spans": q_dup_spans,
         # sketch / approximate (rows-only)
         "bloom_membership": q_bloom_membership,
         "bloom_membership_shuffle": q_bloom_membership_shuffle,
@@ -1815,6 +1855,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT g.doc_id, count(*)::BIGINT AS overlap_ngrams "
             "FROM ng g JOIN bench b USING (ng) WHERE g.doc_id % 13 <> 0 "
             "GROUP BY g.doc_id HAVING count(*) >= 1"
+        ),
+        # the planted mess (case flips, tab runs, padding) must round-trip to the
+        # ORIGINAL text (corpus is lowercase/single-spaced — verified at every
+        # sf), so the oracle states the fixed point; any normalize kernel that
+        # under-cleans leaves mess in the Ray output and hash-mismatches
+        "normalize_text": "SELECT doc_id, text FROM documents",
+        "dup_spans": (
+            "WITH pos AS ("
+            "  SELECT doc_id, text, unnest(range(1, length(text) - 16 + 2)) AS i FROM documents"
+            "), wins AS ("
+            "  SELECT doc_id, substr(text, i::INT, 16) AS w FROM pos"
+            "), dfw AS (SELECT w, count(DISTINCT doc_id) AS df FROM wins GROUP BY w) "
+            "SELECT v.doc_id, count(*)::BIGINT AS n_windows, "
+            "count(*) FILTER (WHERE d.df >= 2)::BIGINT AS n_dup_windows "
+            "FROM wins v JOIN dfw d USING (w) GROUP BY v.doc_id"
         ),
         "rare_tokens": (
             "WITH aug AS ("

@@ -95,6 +95,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     import pyarrow.parquet as pq
 
     from raysketch.io.corpus import gen_webpages
+    from raysketch.pipeline.decontam import hot_ngrams
     from raysketch.pipeline.text import extract_text_batch
 
     n_rows = li_rows * REPLICATE
@@ -209,6 +210,16 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                 .count()
             )
         extras["extract_rows"] = n_web
+
+        # 6. hot-ngram boilerplate scan over the 200k-doc corpus: ~20M mostly
+        # distinct 3-gram incidences through the keyed-repartition block-sum
+        # df pass — the widest 8-byte-row exchange in the suite (the hot set
+        # itself is near empty on random text; size recorded as regression
+        # evidence). The native hash aggregate measured 147 s on this stage's
+        # singleton-heavy keys; the block-sum pass does it in ~10 s.
+        with timed("hot_ngrams"):
+            hot = hot_ngrams(rd.read_parquet(web_dir, columns=["text"]), n=3, min_docs=5)
+        extras["hot_ngrams_rows"] = int(hot.num_rows)
         return timings, extras
 
     best: dict[str, float] = {}

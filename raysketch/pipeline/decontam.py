@@ -89,6 +89,46 @@ def _per_doc_distinct(h: np.ndarray, doc: np.ndarray) -> tuple[np.ndarray, np.nd
     return hs[first], ds[first]
 
 
+def _size_hash_exchange(ds) -> None:
+    """Cap the dataset's hash-exchange width at the cluster width: every hash
+    aggregation otherwise defaults to 200 partitions — 200 aggregator-actor
+    spin-ups per groupby (the round-2 lesson, BASELINE.md 'Ray-vs-host')."""
+    from ray.data.context import ShuffleStrategy
+
+    from raysketch.pipeline.dedup import _num_partitions
+
+    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    ds.context.default_hash_shuffle_parallelism = _num_partitions()
+
+
+def _df_counts(inc, out_col: str = "n", min_count: int | None = None):
+    """Summed counts per hash from ``(h, c)`` incidence partials, WITHOUT the
+    native hash aggregate: n-gram/window key universes are singleton-heavy
+    (~99% of 20M keys occur once at bench scale) and the aggregator pays
+    per-GROUP machinery — measured 147 s for what one keyed HASH_SHUFFLE
+    ``repartition(keys=["h"])`` + a vectorized per-block unique/bincount pass
+    does in a few seconds (each h lands wholly in one block). Optional
+    ``min_count`` filters inside the block pass, so thresholded consumers
+    never see the singleton mass."""
+    from raysketch.pipeline.dedup import _num_partitions
+
+    _size_hash_exchange(inc)
+    npart = _num_partitions()
+    parts = inc.repartition(num_blocks=npart, keys=["h"])
+
+    def block(t: pa.Table) -> pa.Table:
+        h = np.asarray(t.column("h"))
+        c = np.asarray(t.column("c"))
+        uh, inv = np.unique(h, return_inverse=True)
+        tot = np.bincount(inv, weights=c).astype(np.int64)
+        if min_count is not None:
+            keep = tot >= min_count
+            uh, tot = uh[keep], tot[keep]
+        return pa.table({"h": uh, out_col: tot})
+
+    return parts.map_batches(block, batch_format="pyarrow", batch_size=None)
+
+
 def _in_sorted(sorted_vals: np.ndarray, probe: np.ndarray) -> np.ndarray:
     """Boolean membership of ``probe`` in an ascending-sorted u64 array."""
     if len(sorted_vals) == 0 or len(probe) == 0:
@@ -175,15 +215,14 @@ def hot_ngrams(
     appearing in >= ``min_docs`` DISTINCT documents.
 
     Two hash-only passes: (1) per-block per-doc-distinct incidence counts
-    (8-byte rows) → native groupby-sum → threshold (the only wide exchange
-    ships ``(hash, partial_count)`` int64 pairs, never strings); (2) a
+    (8-byte rows) → keyed-repartition block-sum + threshold (``_df_counts``;
+    the only wide exchange ships ``(hash, partial_count)`` int64 pairs,
+    never strings); (2) a
     re-scan recovers each hot hash's string from its first occurrence,
     filtered task-side against the broadcast hot set. The final join runs on
     the driver over the threshold-bounded hot table only (boilerplate
     n-grams in >=K docs are a tiny fraction of the n-gram universe at any
     corpus size — that bound, not the corpus, sizes the driver step)."""
-    from ray.data.aggregate import Sum
-
     def partial(batch: pa.Table) -> pa.Table:
         _, th, offs = _doc_tokens(batch.column(text_col))
         _, h, doc = _ngram_occurrences(th, offs, n)
@@ -191,17 +230,13 @@ def hot_ngrams(
         uh, c = np.unique(hd, return_counts=True)
         return pa.table({"h": uh.view(np.int64), "c": c.astype(np.int64)})
 
-    counts = (
-        docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("h")
-        .aggregate(Sum("c", alias_name="n_docs"))
-        .map_batches(
-            lambda t: t.filter(pc.greater_equal(t.column("n_docs"), min_docs)),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-        .to_pandas()
-    )
+    inc = docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    counts = _df_counts(inc, out_col="n_docs", min_count=min_docs).to_pandas()
+    empty = pa.table({"ngram": pa.array([], pa.string()), "n_docs": pa.array([], pa.int64())})
+    if len(counts) == 0 or "h" not in counts.columns:
+        # an all-empty Dataset loses its schema through to_pandas; nothing is
+        # hot, so skip the recovery scan entirely
+        return empty
     hot_sorted = np.sort(counts["h"].to_numpy().view(np.uint64))
     hot_ref = ray.put(hot_sorted)
 
@@ -212,15 +247,164 @@ def hot_ngrams(
         m = _in_sorted(hs, h)
         hm, sm = h[m], starts[m]
         uh, idx = np.unique(hm, return_index=True)
-        # <= |hot| iterations per block, each a tiny n-token slice join
-        strings = [" ".join(flat[j : j + n].to_pylist()) for j in sm[idx]]
+        # vectorized string rebuild: one token-gather per n-gram position +
+        # a single element-wise join — no per-hit Python even when the hot
+        # set is large (boilerplate-heavy corpora)
+        pos = sm[idx]
+        cols = [flat.take(pa.array(pos + j)) for j in range(n)]
+        strings = pc.binary_join_element_wise(*cols, " ")
         return pa.table({"h": uh.view(np.int64), "ngram": strings})
 
     rec = (
         docs.map_batches(recover, batch_format="pyarrow", zero_copy_batch=True)
         .to_pandas()
-        .drop_duplicates("h")
     )
+    if len(rec) == 0 or "h" not in rec.columns:
+        return empty
+    rec = rec.drop_duplicates("h")
     out = counts.merge(rec, on="h")[["ngram", "n_docs"]]
     out = out.sort_values("ngram", kind="mergesort", ignore_index=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _char_window_hashes(
+    texts: pa.Array, L: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Rolling polynomial hashes of every length-``L`` character window of
+    every doc: ``(hashes, doc_idx, n_windows_per_doc)``. One flat-buffer
+    gather+fma pass per window position (L passes total, zero per-row
+    Python); hash-distinct ≡ string-distinct up to 64-bit collisions."""
+    from raysketch.hashing import column_spans
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    data, starts, lengths = column_spans(texts)
+    nwin = np.maximum(lengths - L + 1, 0).astype(np.int64)
+    total = int(nwin.sum())
+    doc = np.repeat(np.arange(len(nwin), dtype=np.int64), nwin)
+    if total == 0:
+        return np.empty(0, dtype=np.uint64), doc, nwin
+    cum = np.zeros(len(nwin) + 1, dtype=np.int64)
+    np.cumsum(nwin, out=cum[1:])
+    rel = np.arange(total, dtype=np.int64) - np.repeat(cum[:-1], nwin)
+    pos = np.repeat(starts, nwin) + rel
+    acc = np.zeros(total, dtype=np.uint64)
+    d64 = data.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(L):
+            acc = acc * _NGRAM_P + d64[pos + j]
+    return acc, doc, nwin
+
+
+def dup_span_stats(
+    docs: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 16,
+    dup_switch: int = 5_000_000,
+) -> "ray.data.Dataset":
+    """Exact-substring duplication signal (the character-level analogue of
+    suffix-array dedup, Lee et al. 2022's 'exact substring' criterion at a
+    fixed window): per doc, ``(id_col, n_windows, n_dup_windows)`` where a
+    window is *dup* iff its exact ``window``-char string occurs in >= 2
+    DISTINCT documents. Docs shorter than ``window`` emit no row.
+
+    Two regimes like ``rare_token_stats``: window-hash df is computed with a
+    hash-only incidence pass (keyed repartition + per-block multi-group sum —
+    see ``_df_counts``); the df>=2 set broadcasts when small, else
+    occurrences inner-join the df table on hash."""
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        h, doc, _ = _char_window_hashes(batch.column(text_col), window)
+        hd, _ = _per_doc_distinct(h, doc)
+        uh, c = np.unique(hd, return_counts=True)
+        return pa.table({"h": uh.view(np.int64), "c": c.astype(np.int64)})
+
+    inc = docs.map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True)
+    # thresholded inside the block pass: only df>=2 hashes (the dup set) ever
+    # leave it — the singleton mass (most of the window universe) stays local
+    dup = _df_counts(inc, out_col="df", min_count=2).materialize()
+    n_dup_hashes = dup.count()
+
+    if n_dup_hashes <= dup_switch:
+        parts = [
+            np.asarray(b.column("h")).view(np.uint64)
+            for b in dup.iter_batches(batch_format="pyarrow")
+        ]
+        ds_sorted = np.sort(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
+        ref = ray.put(ds_sorted)
+
+        def score(batch: pa.Table) -> pa.Table:
+            dsr = ray.get(ref)
+            h, doc, nwin = _char_window_hashes(batch.column(text_col), window)
+            m = _in_sorted(dsr, h)
+            ndup = np.bincount(doc[m], minlength=batch.num_rows).astype(np.int64)
+            keep = nwin > 0
+            return pa.table(
+                {
+                    id_col: np.asarray(batch.column(id_col))[keep],
+                    "n_windows": nwin[keep],
+                    "n_dup_windows": ndup[keep],
+                }
+            )
+
+        return docs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+    def occ_partial(batch: pa.Table) -> pa.Table:
+        h, doc, nwin = _char_window_hashes(batch.column(text_col), window)
+        order = np.lexsort((h, doc))
+        hs, ds_ = h[order], doc[order]
+        first = np.ones(len(hs), dtype=bool)
+        first[1:] = (hs[1:] != hs[:-1]) | (ds_[1:] != ds_[:-1])
+        bounds = np.append(np.nonzero(first)[0], len(hs))
+        ids = np.asarray(batch.column(id_col))
+        return pa.table(
+            {
+                id_col: ids[ds_[first]],
+                "h": hs[first].view(np.int64),
+                "occ": np.diff(bounds).astype(np.int64),
+                "nw": nwin[ds_[first]].astype(np.int64),
+            }
+        )
+
+    npart = max(8, min(64, int(ray.cluster_resources().get("CPU", 8))))
+    # left_outer against the (pre-thresholded) dup table: occurrences of
+    # non-dup windows survive with a null df — needed for n_windows. Plain
+    # repartition coalesces any schema-less empty dup blocks before Acero.
+    joined = docs.map_batches(
+        occ_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).join(dup.repartition(npart), "left_outer", npart, on=("h",))
+
+    def reagg(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col))
+        occ = np.asarray(batch.column("occ"))
+        nw = np.asarray(batch.column("nw"))
+        isdup = pc.is_valid(batch.column("df")).to_numpy(zero_copy_only=False)
+        uid, inv = np.unique(ids, return_inverse=True)
+        ndup = np.bincount(inv, weights=np.where(isdup, occ, 0)).astype(np.int64)
+        nwin = np.zeros(len(uid), dtype=np.int64)
+        np.maximum.at(nwin, inv, nw)
+        return pa.table({id_col: uid, "n_windows": nwin, "__ndup": ndup})
+
+    from ray.data.aggregate import Max, Sum as _Sum
+
+    per_doc = (
+        joined.map_batches(reagg, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(id_col)
+        .aggregate(
+            _Sum("__ndup", alias_name="__ndup"),
+            Max("n_windows", alias_name="n_windows"),
+        )
+    )
+    return per_doc.map_batches(
+        lambda t: pa.table(
+            {
+                id_col: t.column(id_col),
+                "n_windows": t.column("n_windows"),
+                "n_dup_windows": t.column("__ndup"),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

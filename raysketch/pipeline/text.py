@@ -272,7 +272,9 @@ def rare_token_stats(
     of CCNet-style filtering, exactly (no LM, no floats, SQL-checkable).
 
     Scale shape: pass 1 computes df hash-only (per-doc-distinct incidences →
-    8-byte-row groupby-sum). The probe side then flags the COMMON complement:
+    keyed repartition + per-block multi-group sum, ``decontam._df_counts`` —
+    the native hash aggregate collapses on singleton-heavy key universes).
+    The probe side then flags the COMMON complement:
     ``|{t : df_t >= K}| <= (Σ_t df_t)/K``, so the broadcast side is bounded by
     corpus_size/K regardless of vocabulary size — rare tokens (the unbounded
     Zipf tail) never ship anywhere. If the common set still exceeds
@@ -280,9 +282,13 @@ def rare_token_stats(
     hash (same regime split as the semi/anti-join and exact-dedup paths).
     """
     import ray
-    from ray.data.aggregate import Sum
 
-    from raysketch.pipeline.decontam import _doc_tokens, _in_sorted, _per_doc_distinct
+    from raysketch.pipeline.decontam import (
+        _df_counts,
+        _doc_tokens,
+        _in_sorted,
+        _per_doc_distinct,
+    )
 
     def df_partial(batch: pa.Table) -> pa.Table:
         _, th, offs = _doc_tokens(batch.column(text_col))
@@ -291,16 +297,8 @@ def rare_token_stats(
         uh, c = np.unique(hd, return_counts=True)
         return pa.table({"h": uh.view(np.int64), "c": c.astype(np.int64)})
 
-    df = (
-        docs.map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("h")
-        .aggregate(Sum("c", alias_name="df"))
-    )
-    common = df.map_batches(
-        lambda t: t.filter(pc.greater_equal(t.column("df"), min_df)).select(["h"]),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+    inc = docs.map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True)
+    common = _df_counts(inc, out_col="df", min_count=min_df).materialize()
     n_common = common.count()
 
     if n_common <= common_switch:
@@ -329,11 +327,9 @@ def rare_token_stats(
         return docs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
 
     # distributed-join regime: explode per-doc occurrence counts of each token
-    # hash (pre-aggregated in-batch: one row per (doc, distinct token)), join
-    # the full df table (every token matches — and joining the aggregate output
-    # directly keeps the right side's schema known to the join operator; a
-    # filtered map_batches right side can hand Acero schema-less empty
-    # partitions), re-aggregate per doc with the df>=K test done post-join
+    # hash (pre-aggregated in-batch: one row per (doc, distinct token)),
+    # left_outer-join the pre-thresholded common table (df null → rare),
+    # re-aggregate per doc
     def occ_partial(batch: pa.Table) -> pa.Table:
         _, th, offs = _doc_tokens(batch.column(text_col))
         n_tokens = np.diff(offs)
@@ -354,18 +350,16 @@ def rare_token_stats(
             }
         )
 
-    import ray as _ray
-
-    npart = max(8, min(64, int(_ray.cluster_resources().get("CPU", 8))))
+    npart = max(8, min(64, int(ray.cluster_resources().get("CPU", 8))))
     joined = docs.map_batches(
         occ_partial, batch_format="pyarrow", zero_copy_batch=True
-    ).join(df, "inner", npart, on=("h",))
+    ).join(common.repartition(npart), "left_outer", npart, on=("h",))
 
     def reagg(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column(id_col))
         occ = np.asarray(batch.column("occ"))
         nt = np.asarray(batch.column("nt"))
-        com = np.asarray(batch.column("df")) >= min_df
+        com = pc.is_valid(batch.column("df")).to_numpy(zero_copy_only=False)
         uid, inv = np.unique(ids, return_inverse=True)
         ncom = np.bincount(inv, weights=np.where(com, occ, 0)).astype(np.int64)
         # n_tokens of a doc rides every row; max-per-doc recovers it
@@ -412,3 +406,18 @@ def redact_batch(
     out = batch.set_column(batch.schema.get_field_index(col), col, red)
     out = out.append_column("n_matches", n)
     return out.append_column("redacted_len", pc.cast(pc.utf8_length(red), pa.int64()))
+
+
+def normalize_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Canonical text normalization for dedup/fingerprint pre-passes:
+    lowercase → collapse whitespace runs to single spaces → strip. All Arrow
+    kernels (utf8_lower / RE2 replace / trim); byte-identical to SQL
+    ``trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))`` on ASCII (the
+    synthetic corpora; non-ASCII case tables may differ between engines and
+    are property-tested, not oracle-checked)."""
+    txt = batch.column(col).combine_chunks()
+    norm = pc.utf8_trim_whitespace(
+        pc.replace_substring_regex(pc.utf8_lower(txt), r"\s+", " ")
+    )
+    i = batch.schema.get_field_index(col)
+    return batch.set_column(i, col, norm)

@@ -92,3 +92,42 @@ def test_hot_ngrams_matches_python_reference():
     got = list(zip(out.column("ngram").to_pylist(), out.column("n_docs").to_pylist()))
     assert got == truth
     assert len(truth) > 5  # fixture actually exercises the threshold
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("switch", [5_000_000, 0], ids=["broadcast", "join"])
+def test_dup_span_stats_both_regimes(switch):
+    """Planted shared substring: docs 0/1 share an exact 8-char span
+    ('SHAREDXY'), doc 2 is unique, doc 3 is shorter than the window (no row)."""
+    import ray.data as rd
+
+    from raysketch.pipeline.decontam import dup_span_stats
+
+    texts = [
+        "aaaaSHAREDXYbbbb",
+        "ccccSHAREDXYdddd",
+        "eeeeffffgggghhhh",
+        "short",
+    ]
+    ds = rd.from_arrow(pa.table({"doc_id": [0, 1, 2, 3], "text": texts})).repartition(3)
+    out = (
+        dup_span_stats(ds, window=8, dup_switch=switch)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert out["doc_id"].tolist() == [0, 1, 2]
+    assert out["n_windows"].tolist() == [9, 9, 9]
+    # only the single exactly-aligned 'SHAREDXY' window is shared
+    assert out["n_dup_windows"].tolist() == [1, 1, 0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hot_ngrams_empty_hot_set():
+    """min_docs above any df → empty result with a stable schema (the all-empty
+    Dataset → pandas path loses column names; regression for the bench crash)."""
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({"text": ["a b c", "d e f"]}))
+    out = hot_ngrams(ds, n=2, min_docs=99)
+    assert out.num_rows == 0
+    assert out.column_names == ["ngram", "n_docs"]

@@ -63,3 +63,17 @@ def test_redact_batch_counts_and_replacement():
     assert out.column("redacted_len").to_pylist() == [len(r) for r in red]
     # regex exported for oracle parity
     assert "@" in _EMAIL_RE
+
+
+def test_normalize_batch():
+    from raysketch.pipeline.text import normalize_batch
+
+    t = pa.table(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["  Hello\t WORLD  x ", "a  b\n\nc", ""],
+        }
+    )
+    out = normalize_batch(t)
+    assert out.column("text").to_pylist() == ["hello world x", "a b c", ""]
+    assert out.column_names == ["doc_id", "text"]
