@@ -75,14 +75,20 @@ def exact_dedup(
 ):
     """Keep exactly one row (the minimum ``id_col``) per distinct ``text_col``.
 
-    Winner selection is a native (Arrow-vectorized) ``groupby(fp).min(id)`` over
-    narrow (fp, id) rows — document bodies never enter the shuffle. The winner
-    rows are then recovered either by a broadcast id filter (``strategy="broadcast"``,
+    Winner selection is ``groupby(fp).min(id)`` in spirit, computed WITHOUT the
+    native aggregate: fingerprints are mostly singletons (dups are the rare
+    case), and the hash aggregator's per-group machinery collapses on
+    singleton-heavy keys (the r3 lesson — 147 s vs ~10 s on 20M keys,
+    BASELINE.md). Instead: in-batch partial min (one row per distinct fp per
+    block) → keyed HASH_SHUFFLE repartition → per-block final min. Bitwise-
+    identical winners (min is associative; hash partitioning co-locates each
+    fp). Document bodies never enter the shuffle. The winner rows are then
+    recovered either by a broadcast id filter (``strategy="broadcast"``,
     right when the winner-id list fits the object store comfortably) or a hash
     join (``strategy="join"``, the 10^9+-winners regime). ``auto`` picks broadcast
     under 5M winners. 64-bit fingerprint collisions are ~n²/2⁶⁵ — negligible below
     ~10⁹ docs; use a 128-bit fingerprint pair beyond that."""
-    from ray.data.aggregate import Min
+    from ray.data.context import ShuffleStrategy
 
     def add_fp(batch: pa.Table) -> pa.Table:
         h = hash_column(batch.column(text_col).combine_chunks(), algo="xxh64", seed=0)
@@ -90,13 +96,25 @@ def exact_dedup(
             {"__fp": pa.array(h.astype(np.int64)), id_col: batch.column(id_col)}
         )
 
+    def block_min(batch: pa.Table) -> pa.Table:
+        fp = np.asarray(batch.column("__fp"))
+        ids = np.asarray(batch.column(id_col))
+        order = np.lexsort((ids, fp))
+        fps, idss = fp[order], ids[order]
+        first = np.ones(len(fps), dtype=bool)
+        first[1:] = fps[1:] != fps[:-1]
+        return pa.table({"__fp": fps[first], id_col: idss[first]})
+
+    pre = ds.map_batches(add_fp, batch_format="pyarrow", zero_copy_batch=True).map_batches(
+        block_min, batch_format="pyarrow", zero_copy_batch=True
+    )
+    pre.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    pre.context.default_hash_shuffle_parallelism = num_partitions
     winners = (
-        ds.map_batches(add_fp, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("__fp")
-        .aggregate(Min(id_col, alias_name="__winner"))
-        .select_columns(["__winner"])
+        pre.repartition(num_blocks=num_partitions, keys=["__fp"])
+        .map_batches(block_min, batch_format="pyarrow", batch_size=None)
         .map_batches(
-            lambda b: pa.table({id_col: b.column("__winner")}), batch_format="pyarrow"
+            lambda b: pa.table({id_col: b.column(id_col)}), batch_format="pyarrow"
         )
     )
     if strategy == "auto":
@@ -449,18 +467,42 @@ def _hot_members(band_rows, id_col: str, extra_cols: tuple[str, ...] = (), broad
     ~bands×16 B/doc of object-store/spill footprint; if that is too much, drop the
     materialize and let Ray recompute the (cheap, map-only) band stage for the
     second pass — storage vs. recompute, both correct."""
-    from ray.data.aggregate import Count
-
     import ray
 
     band_rows = band_rows.materialize()
     n_band_rows = band_rows.count()
-    counts = band_rows.groupby("key").aggregate(Count(alias_name="n"))
-    hot = counts.filter(expr="n > 1").select_columns(["key"]).materialize()
+    # bucket keys are mostly SINGLETONS (hot buckets are the rare case), so the
+    # native count aggregate pays per-group machinery for nearly every row —
+    # the r3 singleton-collapse lesson (BASELINE.md). Count via in-batch
+    # partials + keyed repartition + per-block sum, thresholded in the block
+    # pass so only hot keys ever leave it. Identical hot set.
+    def count_partial(t: pa.Table) -> pa.Table:
+        k = np.asarray(t.column("key"))
+        uk, c = np.unique(k, return_counts=True)
+        return pa.table({"key": uk, "c": c.astype(np.int64)})
+
+    from ray.data.context import ShuffleStrategy
+
+    inc = band_rows.map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
+    inc.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    inc.context.default_hash_shuffle_parallelism = _partitions_for(n_band_rows)
+    parts = inc.repartition(num_blocks=_partitions_for(n_band_rows), keys=["key"])
+
+    def hot_block(t: pa.Table) -> pa.Table:
+        k = np.asarray(t.column("key"))
+        c = np.asarray(t.column("c"))
+        uk, inv = np.unique(k, return_inverse=True)
+        tot = np.bincount(inv, weights=c).astype(np.int64)
+        return pa.table({"key": uk[tot >= 2]})
+
+    hot = parts.map_batches(hot_block, batch_format="pyarrow", batch_size=None).materialize()
     n_hot = hot.count()
     if n_hot == 0:
         return None, n_band_rows
     if n_hot > broadcast_limit:
+        # plain-repartition coalesce: hot now comes from map_batches, whose
+        # skipped-empty blocks would hand Acero schema-less partitions
+        hot = hot.repartition(_partitions_for(n_hot))
         return band_rows.join(hot, "inner", _partitions_for(n_band_rows), on=("key",)), n_band_rows
     hot_keys = np.array([r["key"] for r in hot.take_all()], dtype=np.int64)
     hot_keys.sort()
