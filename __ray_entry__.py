@@ -1667,6 +1667,18 @@ def q_dup_spans(sf_dir: str):
     )
 
 
+def q_length_filter(sf_dir: str):
+    """Percentile length gate with EXACT distributed thresholds (P5–P95 of
+    n_chars via the bounded-cardinality histogram scan); the oracle re-derives
+    the same rank definition with a window cumsum — no engine quantile
+    semantics involved."""
+    from raysketch.pipeline.text import length_filter
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    kept, _lo, _hi = length_filter(docs, col="n_chars", lo_q=0.05, hi_q=0.95)
+    return kept.to_pandas().sort_values("doc_id", ignore_index=True)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -1711,6 +1723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": q_pii_redact,
         "normalize_text": q_normalize_text,
         "dup_spans": q_dup_spans,
+        "length_filter": q_length_filter,
         # sketch / approximate (rows-only)
         "bloom_membership": q_bloom_membership,
         "bloom_membership_shuffle": q_bloom_membership_shuffle,
@@ -1861,6 +1874,15 @@ def oracle_sql() -> dict[str, str]:
         # sf), so the oracle states the fixed point; any normalize kernel that
         # under-cleans leaves mess in the Ray output and hash-mismatches
         "normalize_text": "SELECT doc_id, text FROM documents",
+        "length_filter": (
+            "WITH cnt AS (SELECT n_chars AS v, count(*) AS c FROM documents GROUP BY v), "
+            "cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS f FROM cnt), "
+            "n AS (SELECT count(*) AS n FROM documents), "
+            "lo AS (SELECT min(v) AS lo FROM cum, n WHERE f >= ceil(0.05 * n)), "
+            "hi AS (SELECT min(v) AS hi FROM cum, n WHERE f >= ceil(0.95 * n)) "
+            "SELECT doc_id, n_chars FROM documents, lo, hi "
+            "WHERE n_chars BETWEEN lo AND hi"
+        ),
         "dup_spans": (
             "WITH pos AS ("
             "  SELECT doc_id, text, unnest(range(1, length(text) - 16 + 2)) AS i FROM documents"

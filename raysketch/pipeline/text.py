@@ -421,3 +421,63 @@ def normalize_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     )
     i = batch.schema.get_field_index(col)
     return batch.set_column(i, col, norm)
+
+
+def bounded_quantile_thresholds(
+    ds,
+    col: str,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+) -> tuple[int, int]:
+    """EXACT distributed quantile thresholds for a BOUNDED-CARDINALITY integer
+    column (char/token lengths, small scores): per-block value counts → one
+    tiny (value, count) exchange → cumulative scan. ``lo`` is the smallest
+    value v with cum_count(v) >= ceil(lo_q·n); ``hi`` the smallest with
+    cum_count(v) >= ceil(hi_q·n) — a definition stated from first principles
+    so a SQL oracle can reproduce it without engine-specific quantile
+    semantics. The driver step is bounded by the number of DISTINCT values
+    (the operator's stated assumption), never by rows."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column(col)).astype(np.int64)
+        uv, c = np.unique(v, return_counts=True)
+        return pa.table({"v": uv, "c": c.astype(np.int64)})
+
+    import pandas as pd
+
+    counts = (
+        ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .groupby("v", as_index=False)["c"]
+        .sum()
+        .sort_values("v", ignore_index=True)
+    )
+    cum = counts["c"].cumsum()
+    n = int(cum.iloc[-1])
+    lo_rank = int(np.ceil(lo_q * n))
+    hi_rank = int(np.ceil(hi_q * n))
+    lo = int(counts["v"][cum >= lo_rank].iloc[0])
+    hi = int(counts["v"][cum >= hi_rank].iloc[0])
+    return lo, hi
+
+
+def length_filter(
+    docs,
+    *,
+    col: str = "n_chars",
+    id_col: str = "doc_id",
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+):
+    """Percentile-based outlier trimming (the web-pipeline length gate), with
+    EXACT thresholds: keep rows whose ``col`` lies in the closed interval
+    [P_lo, P_hi] computed by ``bounded_quantile_thresholds``. Returns
+    ``(filtered_dataset, lo, hi)``; the filter pass is one vectorized
+    map_batches, thresholds ride the closure (two scans total, no shuffle)."""
+    lo, hi = bounded_quantile_thresholds(docs, col, lo_q, hi_q)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column(col)).astype(np.int64)
+        return batch.filter(pa.array((v >= lo) & (v <= hi)))
+
+    return docs.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True), lo, hi

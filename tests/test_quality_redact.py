@@ -77,3 +77,20 @@ def test_normalize_batch():
     out = normalize_batch(t)
     assert out.column("text").to_pylist() == ["hello world x", "a b c", ""]
     assert out.column_names == ["doc_id", "text"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_length_filter_exact_thresholds():
+    import ray.data as rd
+
+    from raysketch.pipeline.text import bounded_quantile_thresholds, length_filter
+
+    vals = list(range(1, 101))  # 1..100, distinct
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(100)), "n_chars": vals})).repartition(4)
+    lo, hi = bounded_quantile_thresholds(ds, "n_chars", 0.05, 0.95)
+    # ceil(0.05*100)=5 -> smallest v with cum>=5 is 5; ceil(0.95*100)=95 -> 95
+    assert (lo, hi) == (5, 95)
+    kept, lo2, hi2 = length_filter(ds, col="n_chars")
+    assert (lo2, hi2) == (5, 95)
+    got = sorted(kept.to_pandas()["n_chars"])
+    assert got == list(range(5, 96))
