@@ -131,3 +131,51 @@ def test_hot_ngrams_empty_hot_set():
     out = hot_ngrams(ds, n=2, min_docs=99)
     assert out.num_rows == 0
     assert out.column_names == ["ngram", "n_docs"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_df_counts_matches_pandas_groupby():
+    """_df_counts ≡ groupby-sum on random (h, c) partials, incl. min_count."""
+    import pandas as pd
+    import ray.data as rd
+
+    from raysketch.pipeline.decontam import _df_counts
+
+    rng = np.random.default_rng(5)
+    h = rng.integers(-50, 50, size=5000).astype(np.int64)
+    c = rng.integers(1, 4, size=5000).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"h": h, "c": c})).repartition(7)
+    got = (
+        _df_counts(ds, out_col="n", min_count=120)
+        .to_pandas()
+        .sort_values("h", ignore_index=True)
+    )
+    want = pd.DataFrame({"h": h, "c": c}).groupby("h", as_index=False)["c"].sum()
+    want = want[want["c"] >= 120].rename(columns={"c": "n"}).reset_index(drop=True)
+    assert got["h"].tolist() == want["h"].tolist()
+    assert got["n"].tolist() == want["n"].tolist()
+
+
+def test_char_window_hashes_string_parity():
+    """Window-hash equality ≡ substring equality on a random ASCII fixture."""
+    from raysketch.pipeline.decontam import _char_window_hashes
+
+    rng = np.random.default_rng(9)
+    alpha = np.array(list("abcd"))
+    texts = ["".join(rng.choice(alpha, size=rng.integers(0, 30))) for _ in range(200)]
+    L = 5
+    h, doc, nwin = _char_window_hashes(pa.array(texts), L)
+    subs = [t[i : i + L] for t in texts for i in range(max(len(t) - L + 1, 0))]
+    assert len(h) == len(subs)
+    assert nwin.tolist() == [max(len(t) - L + 1, 0) for t in texts]
+    # same hash <-> same substring (alphabet tiny => plenty of collisions to test)
+    import collections
+
+    by_hash = collections.defaultdict(set)
+    for hh, s in zip(h, subs):
+        by_hash[int(hh)].add(s)
+    assert all(len(v) == 1 for v in by_hash.values())
+    by_str = collections.defaultdict(set)
+    for hh, s in zip(h, subs):
+        by_str[s].add(int(hh))
+    assert all(len(v) == 1 for v in by_str.values())
