@@ -1679,6 +1679,57 @@ def q_length_filter(sf_dir: str):
     return kept.to_pandas().sort_values("doc_id", ignore_index=True)
 
 
+def q_weighted_sample(sf_dir: str):
+    """Deterministic weighted sample (Efraimidis–Spirakis keys with hash
+    uniforms — bitwise partition-independent) of lineitem rows weighted by
+    l_quantity; invariant row: exact size/seen counts + a distributed
+    containment check of every sampled (key, weight) pair."""
+    import pandas as pd
+    import ray
+
+    from raysketch.pipeline.build import build_sketch
+    from raysketch.sketches.weighted_reservoir import WeightedReservoir
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    sk = build_sketch(
+        li,
+        ["l_orderkey", "l_quantity"],
+        lambda: WeightedReservoir(k=100, seed=7),
+        update=lambda s, b: s.update_columns(
+            b.column("l_orderkey"), b.column("l_quantity").to_numpy(zero_copy_only=False)
+        ),
+    )
+    rows = sk.sample_rows()
+    pairs = sorted({(int(v), float(w)) for v, w in rows})
+    ref = ray.put(np.array(pairs, dtype=np.float64))
+
+    def seen(batch: pa.Table) -> pa.Table:
+        p = ray.get(ref)
+        k = np.asarray(batch.column("l_orderkey")).astype(np.float64)
+        q = batch.column("l_quantity").to_numpy(zero_copy_only=False).astype(np.float64)
+        # pre-filter rows whose key is sampled at all, THEN the small 2D pair
+        # check — keeps the temporary at (≤hits × 100), never (batch × 100)
+        cand = np.nonzero(np.isin(k, p[:, 0]))[0]
+        if len(cand) == 0:
+            return pa.table({"i": pa.array([], pa.int64())})
+        hit = (k[cand][:, None] == p[:, 0]) & (q[cand][:, None] == p[:, 1])
+        found = np.nonzero(hit.any(axis=0))[0]
+        return pa.table({"i": found.astype(np.int64)})
+
+    found_idx = set()
+    for b in li.map_batches(seen, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        found_idx.update(np.asarray(b.column("i")).tolist())
+    return pd.DataFrame(
+        [
+            {
+                "sample_size": len(rows),
+                "n_seen": int(sk.n_seen),
+                "all_members_valid": bool(len(found_idx) == len(pairs)),
+            }
+        ]
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -1724,6 +1775,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": q_normalize_text,
         "dup_spans": q_dup_spans,
         "length_filter": q_length_filter,
+        "weighted_sample": q_weighted_sample,
         # sketch / approximate (rows-only)
         "bloom_membership": q_bloom_membership,
         "bloom_membership_shuffle": q_bloom_membership_shuffle,
@@ -1959,6 +2011,10 @@ def oracle_sql() -> dict[str, str]:
         # ------------------------------------------------------------------
         "extract_invariant": "SELECT 10000::BIGINT AS rows, 0::BIGINT AS mismatches",
         "reservoir_sample": (
+            "SELECT 100::BIGINT AS sample_size, count(*)::BIGINT AS n_seen, "
+            "true AS all_members_valid FROM lineitem"
+        ),
+        "weighted_sample": (
             "SELECT 100::BIGINT AS sample_size, count(*)::BIGINT AS n_seen, "
             "true AS all_members_valid FROM lineitem"
         ),

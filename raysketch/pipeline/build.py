@@ -57,19 +57,25 @@ def build_sketch(
 ):
     """Build one merged sketch over ``ds[column]``. Returns the sketch object.
 
-    ``map_batches`` with ``batch_size=None`` gives one partial per block
-    (zero-copy pyarrow in, 1-row table out); a fan-in merge stage bounds what the
-    driver touches to ``#blocks / merge_fanout`` blobs.
+    ``column`` may be a list of names for multi-column sketches (e.g. value +
+    weight): ``update`` then receives the projected pyarrow TABLE instead of a
+    single column. ``map_batches`` with ``batch_size=None`` gives one partial
+    per block (zero-copy pyarrow in, 1-row table out); a fan-in merge stage
+    bounds what the driver touches to ``#blocks / merge_fanout`` blobs.
     """
+    cols = [column] if isinstance(column, str) else list(column)
 
     def partial(batch: pa.Table) -> pa.Table:
         sk = make_sketch()
-        update(sk, batch.column(column).combine_chunks())
+        if len(cols) == 1:
+            update(sk, batch.column(cols[0]).combine_chunks())
+        else:
+            update(sk, batch)
         return pa.table(
             {"state": [sk.to_bytes()], "rows_in": [batch.num_rows]}, schema=_STATE_SCHEMA
         )
 
-    parts = ds.select_columns([column]).map_batches(
+    parts = ds.select_columns(cols).map_batches(
         partial, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
     )
 

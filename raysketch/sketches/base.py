@@ -88,6 +88,7 @@ def _ensure_registry() -> None:
         "theta",
         "mg",
         "reservoir",
+        "weighted_reservoir",
     ):
         m = importlib.import_module(f"raysketch.sketches.{mod}")
         # register directly (not via import side effects — already-imported
