@@ -240,6 +240,17 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         )
         extras["extract_rows_per_sec"] = round(extras.pop("extract_rows") / best["extract_text"], 1)
 
+    # cross-round comparability: `value` grows as stages are ADDED each round,
+    # so also report the sum over the round-1/2 stage set
+    _R2_STAGES = (
+        "bloom_build", "bloom_probe", "hll", "cms", "tdigest", "kll",
+        "dedup_exact", "minhash_dedup", "ann_topk", "window_events", "extract_text",
+    )
+    if not scaling_only:
+        extras["carryover_stage_total"] = round(
+            sum(best[s] for s in _R2_STAGES if s in best), 3
+        )
+
     ray.shutdown()
     total = round(sum(best.values()), 3)
     return {
