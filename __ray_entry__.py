@@ -42,13 +42,12 @@ _HLL_3SIGMA = 3 * 1.04 / 128.0  # p=14 → 3·(1.04/√2^14) ≈ 0.0244 (Flajole
 
 
 def _distinct_count(ds, cols) -> int:
-    """Exact distinct count computed DISTRIBUTED (native hash groupby — only the
-    group keys shuffle; result is the number of groups)."""
-    from ray.data.aggregate import Count
+    """Exact distinct count computed DISTRIBUTED via the block-distinct pattern
+    (distinct keys are singleton-heavy — the native aggregator's worst shape)."""
+    from raysketch.pipeline.relational import distinct_rows
 
-    key = cols if isinstance(cols, (list, tuple)) else [cols]
-    key = key[0] if len(key) == 1 else list(key)
-    return ds.groupby(key).aggregate(Count(alias_name="__n")).count()
+    key = list(cols) if isinstance(cols, (list, tuple)) else [cols]
+    return distinct_rows(ds, key).count()
 
 
 def _rank_bounds(ds, column: str, values) -> tuple[np.ndarray, np.ndarray]:
@@ -714,7 +713,17 @@ def _bloom_membership_setup(sf_dir: str, broadcast_limit: int = 5_000_000):
     pb, lineage = build_partitioned_bloom(li, "l_orderkey", capacity=max(n, 1), num_shards=32)
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
 
-    distinct = li.groupby("l_orderkey").aggregate(Count(alias_name="__n")).materialize()
+    from raysketch.pipeline.relational import distinct_rows
+
+    distinct = (
+        distinct_rows(li, ["l_orderkey"])
+        .map_batches(
+            lambda t: t.append_column("__n", pa.array(np.ones(t.num_rows, dtype=np.int64))),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()
+    )
     if distinct.count() <= broadcast_limit:
         li_keys = np.sort(distinct.to_pandas()["l_orderkey"].to_numpy().astype(np.int64))
         keys_ref = ray.put(li_keys)
@@ -810,9 +819,9 @@ def q_bloom_semi_join(sf_dir: str):
     pb, _ = build_partitioned_bloom(li, "l_orderkey", capacity=max(n, 1), num_shards=32)
     orders = _read(sf_dir, "orders", ["o_orderkey"])
     kept = bloom_semi_join(orders, pb, "o_orderkey").materialize()
-    distinct_li = (
-        li.groupby("l_orderkey").aggregate(Count(alias_name="__n")).select_columns(["l_orderkey"]).materialize()
-    )
+    from raysketch.pipeline.relational import distinct_rows
+
+    distinct_li = distinct_rows(li, ["l_orderkey"]).materialize()
     kept_true, n_kept = _count_members(kept, "o_orderkey", distinct_li, "l_orderkey")
     positives, n_orders = _count_members(orders, "o_orderkey", distinct_li, "l_orderkey")
     negatives = n_orders - positives
@@ -1074,7 +1083,9 @@ def q_hll_by_lang(sf_dir: str):
     ds = _read(sf_dir, "documents", ["lang", "text"])
     tbl = build_keyed_sketch(ds, "lang", "text", lambda: HyperLogLog(14))
     sk = sketch_table_to_dict(tbl, "lang")
-    pairs = ds.groupby(["lang", "text"]).aggregate(Count(alias_name="__n"))
+    from raysketch.pipeline.relational import distinct_rows
+
+    pairs = distinct_rows(ds, ["lang", "text"])
     exact = {
         r["lang"]: r["n_distinct"]
         for r in pairs.groupby("lang").aggregate(Count(alias_name="n_distinct")).take_all()
@@ -1151,8 +1162,10 @@ def q_theta_set_ops(sf_dir: str):
     union = ThetaSketch.from_bytes(a.to_bytes()).merge(b).estimate()
     # exact counterparts, computed distributed: distinct sets + membership count
     # (broadcast searchsorted under the 5M switch, left_semi join beyond)
-    o_d = orders.groupby("o_orderkey").aggregate(Count(alias_name="__n")).select_columns(["o_orderkey"]).materialize()
-    l_d = li.groupby("l_orderkey").aggregate(Count(alias_name="__n")).select_columns(["l_orderkey"]).materialize()
+    from raysketch.pipeline.relational import distinct_rows
+
+    o_d = distinct_rows(orders, ["o_orderkey"]).materialize()
+    l_d = distinct_rows(li, ["l_orderkey"]).materialize()
     nb = l_d.count()
     inter_exact, na = _count_members(o_d, "o_orderkey", l_d, "l_orderkey")
     union_exact = na + nb - inter_exact
@@ -1462,7 +1475,9 @@ def q_fingerprints(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(fp_i64, batch_format="pyarrow", zero_copy_batch=True)
     n_docs = out.count()
-    n_fp = out.groupby("fingerprint").aggregate(Count(alias_name="__n")).count()
+    from raysketch.pipeline.relational import distinct_rows
+
+    n_fp = distinct_rows(out, ["fingerprint"]).count()
     n_text = _distinct_count(ds.select_columns(["text"]), "text")
     return pd.DataFrame(
         [{"n_docs": n_docs, "n_distinct_fp": n_fp, "n_distinct_text": n_text}]
@@ -1512,7 +1527,9 @@ def q_webpipeline(sf_dir: str):
     tbl = build_keyed_sketch(ds, "lang", "url", lambda: HyperLogLog(14))
     sk = sketch_table_to_dict(tbl, "lang")
     # exact per-lang distinct urls (distributed two-level groupby) → 3σ bound row
-    pairs = ds.select_columns(["lang", "url"]).groupby(["lang", "url"]).aggregate(Count(alias_name="__n"))
+    from raysketch.pipeline.relational import distinct_rows
+
+    pairs = distinct_rows(ds, ["lang", "url"])
     exact = {
         r["lang"]: r["n_urls"]
         for r in pairs.groupby("lang").aggregate(Count(alias_name="n_urls")).take_all()

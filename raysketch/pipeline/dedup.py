@@ -607,24 +607,36 @@ def _emit_pairs(
         )
 
     raw = parts.map_batches(pairs_block, batch_format="pyarrow", batch_size=None)
-    from ray.data.aggregate import Min
 
-    aggs = [Min(f"{c}_{s}", alias_name=f"{c}_{s}") for c in out_extras for s in ("a", "b")]
-    if not aggs:
-        from ray.data.aggregate import Count
+    # pair dedup WITHOUT the native aggregate: candidate pairs are singleton-
+    # heavy (a pair shares 1-2 buckets), the aggregator's collapse shape
+    # (BASELINE.md round-3). Per-block Arrow group_by (C++) → keyed
+    # repartition → per-block final pass; Min-of-mins ≡ global Min, so the
+    # extras semantics are identical.
+    ecols = [f"{c}_{s}" for c in out_extras for s in ("a", "b")]
 
-        deduped = (
-            raw.groupby(["a", "b"]).aggregate(Count(alias_name="__n")).select_columns(
-                ["a", "b"]
-            )
+    def pair_reduce(t: pa.Table) -> pa.Table:
+        if not ecols:
+            return t.group_by(["a", "b"]).aggregate([])
+        res = t.group_by(["a", "b"]).aggregate([(c, "min") for c in ecols])
+        return pa.table(
+            {
+                "a": res.column("a"),
+                "b": res.column("b"),
+                **{c: res.column(f"{c}_min") for c in ecols},
+            }
         )
-    else:
-        deduped = raw.groupby(["a", "b"]).aggregate(*aggs)
 
-    # Ray's hash aggregator emits SCHEMA-LESS empty blocks for key partitions
-    # with no rows; Acero joins downstream reject them ("no match for FieldRef")
-    # and map_batches never sees them (empty blocks skip the UDF). A plain
-    # repartition coalesces them into typed blocks.
+    pre = raw.map_batches(pair_reduce, batch_format="pyarrow", zero_copy_batch=True)
+    pre.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    pre.context.default_hash_shuffle_parallelism = num_partitions
+    deduped = pre.repartition(num_blocks=num_partitions, keys=["a", "b"]).map_batches(
+        pair_reduce, batch_format="pyarrow", batch_size=None
+    )
+
+    # skipped-empty blocks are SCHEMA-LESS; Acero joins downstream reject them
+    # ("no match for FieldRef"). A plain repartition coalesces them into typed
+    # blocks.
     return deduped.repartition(num_blocks=num_partitions)
 
 

@@ -69,3 +69,30 @@ def top_k_per_group(
         return batch.filter(pa.array(mask))
 
     return parts.map_batches(per_block, batch_format="pyarrow", batch_size=None)
+
+
+def distinct_rows(ds, cols: list[str], num_partitions: int | None = None):
+    """DISTINCT over ``cols`` without the native hash aggregate: per-block
+    Arrow distinct (``Table.group_by(cols).aggregate([])`` — vectorized C++)
+    → keyed HASH_SHUFFLE repartition → per-block distinct. Distinct-style
+    keys are singleton-heavy by definition (groups ≈ rows), exactly the shape
+    where the aggregator's per-group machinery collapses (147 s vs ~10 s on
+    20M keys — BASELINE.md round-3); this stays pure Arrow at every step and
+    works for any column types, including multi-column string keys."""
+    from ray.data.context import ShuffleStrategy
+
+    from raysketch.pipeline.dedup import _num_partitions
+
+    npart = num_partitions or _num_partitions()
+
+    def block_distinct(t: pa.Table) -> pa.Table:
+        return t.group_by(cols).aggregate([])
+
+    pre = ds.select_columns(cols).map_batches(
+        block_distinct, batch_format="pyarrow", zero_copy_batch=True
+    )
+    pre.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    pre.context.default_hash_shuffle_parallelism = npart
+    return pre.repartition(num_blocks=npart, keys=cols).map_batches(
+        block_distinct, batch_format="pyarrow", batch_size=None
+    )
