@@ -341,13 +341,23 @@ def rare_token_stats(
         bounds = np.append(np.nonzero(first)[0], len(hs))
         occ = np.diff(bounds)
         ids = np.asarray(batch.column(id_col))
+        out_ids = ids[ds_[first]]
+        out_h = hs[first].view(np.int64)
+        out_occ = occ.astype(np.int64)
+        out_nt = n_tokens[ds_[first]].astype(np.int64)
+        # zero-token docs have no occurrence rows and would VANISH from the
+        # join regime (the broadcast regime emits them with n_rare=0): give
+        # each a sentinel occ=0 row — even a hash-collision match contributes
+        # 0 to the common count, so the result is exact either way
+        empty = n_tokens == 0
+        if empty.any():
+            eids = ids[empty]
+            out_ids = np.concatenate([out_ids, eids])
+            out_h = np.concatenate([out_h, np.zeros(len(eids), dtype=np.int64)])
+            out_occ = np.concatenate([out_occ, np.zeros(len(eids), dtype=np.int64)])
+            out_nt = np.concatenate([out_nt, np.zeros(len(eids), dtype=np.int64)])
         return pa.table(
-            {
-                id_col: ids[ds_[first]],
-                "h": hs[first].view(np.int64),
-                "occ": occ.astype(np.int64),
-                "nt": n_tokens[ds_[first]].astype(np.int64),
-            }
+            {id_col: out_ids, "h": out_h, "occ": out_occ, "nt": out_nt}
         )
 
     npart = max(8, min(64, int(ray.cluster_resources().get("CPU", 8))))

@@ -52,7 +52,7 @@ class WeightedReservoir:
         w = np.asarray(weights, dtype=np.float64)
         if len(values) == 0:
             return
-        if (w <= 0).any():
+        if not bool(np.all(w > 0)):  # also rejects NaN, which fails both <= and >
             raise ValueError("weights must be > 0")
         key = self._keys(values, w)
         n = len(key)

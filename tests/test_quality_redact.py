@@ -94,3 +94,21 @@ def test_length_filter_exact_thresholds():
     assert (lo2, hi2) == (5, 95)
     got = sorted(kept.to_pandas()["n_chars"])
     assert got == list(range(5, 96))
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("switch", [5_000_000, 0], ids=["broadcast", "join"])
+def test_rare_token_stats_empty_doc_regimes_agree(switch):
+    """Zero-token docs must appear with (0, 0) in BOTH regimes."""
+    import ray.data as rd
+
+    t = pa.table({"doc_id": [0, 1, 2], "text": ["a a b", "", "   "]})
+    out = (
+        rare_token_stats(rd.from_arrow(t).repartition(2), min_df=2, common_switch=switch)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert out["doc_id"].tolist() == [0, 1, 2]
+    assert out["n_tokens"].tolist() == [3, 0, 0]
+    # 'a' df=1 <2 rare (2 occurrences), 'b' df=1 rare: all 3 rare
+    assert out["n_rare"].tolist() == [3, 0, 0]
