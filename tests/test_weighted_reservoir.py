@@ -73,3 +73,18 @@ def test_distributed_build_equals_local_bitwise():
     local.update_columns(pa.array(vals), w)
     assert sk.items == local.items
     assert sk.n_seen == 2000
+
+
+def test_k1_inclusion_matches_aes_theory():
+    """For k=1, A-ES picks item x with probability w_x / Σw exactly (max of
+    independent u^(1/w) keys). Empirical frequency over seeds must match."""
+    vals = np.array([0, 1, 2], dtype=np.int64)
+    w = np.array([1.0, 2.0, 7.0])
+    counts = {0: 0, 1: 0, 2: 0}
+    n_seeds = 400
+    for seed in range(n_seeds):
+        sk = _build_local(vals, w, k=1, seed=seed)
+        counts[int(sk.sample()[0])] += 1
+    freq = np.array([counts[i] / n_seeds for i in range(3)])
+    theory = w / w.sum()  # [0.1, 0.2, 0.7]
+    assert np.all(np.abs(freq - theory) < 0.08), (freq, theory)
