@@ -72,8 +72,9 @@ def _ngram_occurrences(
     with np.errstate(over="ignore"):
         for pos in range(n):
             t = th[pos : T - n + 1 + pos]
+            # (64 - r) % 64: rotate-by-0 (pos ≡ 29 mod 64) must not shift by 64
             r = np.uint64((13 * pos + 7) % 64)
-            acc = acc * _NGRAM_P + ((t << r) | (t >> np.uint64(64 - int(r))))
+            acc = acc * _NGRAM_P + ((t << r) | (t >> np.uint64((64 - int(r)) % 64)))
     starts = np.nonzero(valid)[0].astype(np.int64)
     return starts, acc[valid], docid[starts]
 

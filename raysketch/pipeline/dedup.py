@@ -135,7 +135,9 @@ def exact_dedup(
             return batch.filter(pa.array(w[idx] == vals))
 
         return ds.map_batches(keep_winners, batch_format="pyarrow", zero_copy_batch=True)
-    return ds.join(winners, "inner", num_partitions, on=(id_col,))
+    # skipped-empty keyed blocks are SCHEMA-LESS and Acero joins reject them
+    # ("no match for FieldRef") — plain-repartition coalesce, as in _emit_pairs
+    return ds.join(winners.repartition(num_blocks=num_partitions), "inner", num_partitions, on=(id_col,))
 
 
 # ---------------------------------------------------------------------------
@@ -194,8 +196,10 @@ def _word_shingle_hashes(texts: pa.Array, k: int = 3) -> tuple[np.ndarray, np.nd
         acc = np.zeros(len(arrays[0]), dtype=np.uint64)
         with np.errstate(over="ignore"):
             for pos, t in enumerate(arrays):
+                # (64 - r) % 64 keeps the counter-shift < 64 when r == 0
+                # (pos ≡ 29 mod 64): shifting a uint64 by 64 is C UB in numpy
                 r = np.uint64((13 * pos + 7) % 64)
-                acc = acc * _SHINGLE_P + ((t << r) | (t >> np.uint64(64 - int(r))))
+                acc = acc * _SHINGLE_P + ((t << r) | (t >> np.uint64((64 - int(r)) % 64)))
         return acc
 
     # full-width shingles: start j valid iff j and j+k-1 fall in the same doc
@@ -303,6 +307,14 @@ def _sorted_unique_segments(h: np.ndarray, offs: np.ndarray) -> tuple[np.ndarray
 def _pack_u64_binary(values: np.ndarray, counts: np.ndarray) -> pa.Array:
     """Pack segmented uint64 arrays into a pyarrow binary column (segment i gets
     ``counts[i]`` 8-byte little-endian words) — zero per-row Python."""
+    total_bytes = int(counts.sum()) * 8
+    if total_bytes >= 2**31:
+        # int32 offsets would silently wrap and corrupt the column; blocks this
+        # big should be re-batched (or this column promoted to large_binary)
+        raise ValueError(
+            f"_pack_u64_binary: packed payload {total_bytes} B exceeds the 2 GiB "
+            "binary-offset limit for one block — reduce batch_size upstream"
+        )
     byte_offs = np.zeros(len(counts) + 1, dtype=np.int32)
     np.cumsum(counts * 8, out=byte_offs[1:])
     return pa.Array.from_buffers(

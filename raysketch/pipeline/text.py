@@ -455,10 +455,14 @@ def bounded_quantile_thresholds(
 
     import pandas as pd
 
+    raw = ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    if len(raw) == 0 or "v" not in raw.columns:
+        # a zero-row counts frame loses its schema through to_pandas (the
+        # documented empty-Dataset gotcha) — the groupby below would raise an
+        # opaque KeyError; fail with a clear message instead
+        raise ValueError(f"bounded_quantile_thresholds: dataset has no rows in column {col!r}")
     counts = (
-        ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
-        .to_pandas()
-        .groupby("v", as_index=False)["c"]
+        raw.groupby("v", as_index=False)["c"]
         .sum()
         .sort_values("v", ignore_index=True)
     )

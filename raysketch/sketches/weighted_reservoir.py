@@ -16,6 +16,11 @@ without replacement; for a FIXED seed it is one reproducible realization
 
 Absent in the reference; the weighted companion of [[reservoir.py]]'s uniform
 sample — the standard tool for weight-proportional data mixing.
+
+Value-type restriction: sampled VALUES are serialized as JSON inside the state
+blob, so values must be JSON-encodable scalars (int / float / str / bool).
+Binary (bytes) value columns are rejected at update time with a clear error —
+use a string or integer surrogate key for opaque payloads.
 """
 
 from __future__ import annotations
@@ -54,6 +59,13 @@ class WeightedReservoir:
             return
         if not bool(np.all(w > 0)):  # also rejects NaN, which fails both <= and >
             raise ValueError("weights must be > 0")
+        if pa.types.is_binary(values.type) or pa.types.is_large_binary(values.type):
+            # to_bytes JSON-encodes values; bytes would fail there, long after
+            # the build started — reject up front (see module docstring)
+            raise TypeError(
+                "WeightedReservoir values must be JSON-encodable scalars "
+                "(int/float/str/bool); got a binary column — sample a surrogate key instead"
+            )
         key = self._keys(values, w)
         n = len(key)
         self.n_seen += n
@@ -85,7 +97,10 @@ class WeightedReservoir:
 
     @property
     def size_bytes(self) -> int:
-        return 24 * len(self.items)
+        # key + weight floats plus the value payload (strings at their encoded
+        # length; numeric/bool values as 8-byte scalars)
+        payload = sum(len(v.encode()) if isinstance(v, str) else 8 for _, v, _ in self.items)
+        return 16 * len(self.items) + payload
 
     def to_bytes(self) -> bytes:
         meta = {
