@@ -130,7 +130,12 @@ def build_partitioned_bloom(
 
 
 def _shuffle_build_rows(
-    hashed, num_shards: int, make_shard_sketch, num_blocks: int | None = None, on_shard=None
+    hashed,
+    num_shards: int,
+    make_shard_sketch,
+    num_blocks: int | None = None,
+    on_shard=None,
+    as_dataset: bool = False,
 ):
     """Hash-shuffle ``(h1, h2, shard)`` rows so each output block holds whole
     shards (Ray's HASH_SHUFFLE ``repartition(keys=["shard"])``), then build every
@@ -138,7 +143,9 @@ def _shuffle_build_rows(
     no per-group Python dispatch, the owner-compute pattern of gloom.h:113-140).
 
     Returns the list of per-shard rows ``{shard, state, rows_in, build_ms,
-    state_bytes}``."""
+    state_bytes}`` — or, with ``as_dataset=True``, the MATERIALIZED Dataset of
+    those rows (shard blobs stay in object-store blocks; nothing transits the
+    driver)."""
     from ray.data.context import ShuffleStrategy
 
     # each Dataset snapshots its DataContext at creation — flip the captured copy
@@ -190,6 +197,10 @@ def _shuffle_build_rows(
             )
 
         built = parts.map_batches(build_block, batch_format="pyarrow", batch_size=None)
+        if as_dataset:
+            # materialize INSIDE the strategy window (the captured context is
+            # restored in finally; a lazy return would execute under the old one)
+            return built.materialize()
         return built.take_all()
     finally:
         ctx.shuffle_strategy = prev
@@ -270,3 +281,150 @@ def _build_partial(
     lin.insert(0, "block", range(len(lin)))
     lineage = pa.Table.from_pandas(lin, preserve_index=False)
     return acc, lineage
+
+
+# ---------------------------------------------------------------------------
+# shard-ref build: the filter never transits the driver
+# ---------------------------------------------------------------------------
+
+
+class ShardedBloom:
+    """A partitioned Bloom whose shard blobs live ONLY in object-store blocks —
+    the 10^12-key regime where the assembled filter (~TB of bits) must never
+    transit or reside in driver memory (the reference keeps it worker-owned the
+    same way: per-shard sub-filters behind owner threads, gloom.h:216-230).
+
+    The driver holds three small things: the geometry, a list of block
+    ``ObjectRef``s (the materialized build Dataset pins their lifetime), and a
+    ``shard → block`` routing array. Probing hash-shuffles probe rows to whole-
+    shard blocks and each probe task fetches only the build blocks its shards
+    live in (``probe.probe_partitioned_shuffle`` dispatches on this type).
+
+    Shards that received zero rows have no block (``shard_block[s] == -1``);
+    probes routed there are definitively absent — the empty-filter semantics.
+    """
+
+    def __init__(
+        self,
+        capacity: int,
+        fp_rate: float,
+        num_shards: int,
+        algo: str,
+        hash_algo: str,
+        seeds: tuple[int, int],
+        blocks,
+        block_refs: list,
+        shard_block: np.ndarray,
+    ):
+        self.capacity = capacity
+        self.fp_rate = fp_rate
+        self.num_shards = num_shards
+        self.algo = algo
+        self.hash_algo = hash_algo
+        self.seeds = tuple(seeds)
+        self._blocks = blocks  # MaterializedDataset — keeps block objects alive
+        self.block_refs = list(block_refs)
+        self.shard_block = np.asarray(shard_block, dtype=np.int32)
+
+    @property
+    def per_shard_capacity(self) -> int:
+        return max(1, math.ceil(self.capacity / self.num_shards))
+
+    def driver_bytes(self) -> int:
+        """Bytes of filter state the DRIVER actually holds: the routing array
+        plus ~64 B per block ref — never any shard blob. The test gate asserts
+        this stays tiny while the distributed filter is arbitrarily large."""
+        return int(self.shard_block.nbytes) + 64 * len(self.block_refs)
+
+    def to_partitioned(self) -> PartitionedBloom:
+        """ESCAPE HATCH for filters that fit driver memory (tests, small jobs):
+        collects every shard blob to the driver — exactly what this class exists
+        to avoid at scale. Bitwise-equal to a driver-assembled build."""
+        import ray
+
+        pb = PartitionedBloom(
+            self.capacity,
+            self.fp_rate,
+            num_shards=self.num_shards,
+            algo=self.algo,
+            hash_algo=self.hash_algo,
+            seeds=self.seeds,
+        )
+        for tbl in ray.get(self.block_refs):
+            for i in range(tbl.num_rows):
+                pb.set_shard(
+                    int(tbl.column("shard")[i].as_py()),
+                    BloomSketch.from_bytes(tbl.column("state")[i].as_py()),
+                )
+        return pb
+
+
+def build_partitioned_bloom_refs(
+    ds,
+    column: str,
+    capacity: int,
+    fp_rate: float = 0.01,
+    num_shards: int = 64,
+    hash_algo: str = "xxh64",
+    seeds: tuple[int, int] = CLASSIC_SEEDS,
+    algo: str = "classic",
+    num_blocks: int | None = None,
+) -> tuple[ShardedBloom, pa.Table]:
+    """``build_partitioned_bloom(mode="shuffle")`` without the driver assembly:
+    the per-shard build blocks stay in the object store; the driver receives a
+    :class:`ShardedBloom` handle (refs + routing) and the lineage table.
+
+    The shard→block routing and the lineage are recovered by tiny remote tasks
+    that project ``state`` away block-side — blob bytes never cross to the
+    driver. Per-probe-task memory downstream is O(total bits × shards-touched /
+    num_shards); raise ``num_blocks`` toward ``num_shards`` to tighten the
+    bound at very large ``m``.
+    """
+    import ray
+
+    if algo not in ("classic",):
+        raise ValueError(f"build_partitioned_bloom_refs supports algo='classic' (got {algo!r})")
+    per_shard_capacity = max(1, math.ceil(capacity / num_shards))
+
+    hashed = ds.map_batches(
+        lambda b: add_hash_columns(b, column, num_shards, hash_algo, seeds),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    blocks = _shuffle_build_rows(
+        hashed,
+        num_shards,
+        lambda: BloomSketch(per_shard_capacity, fp_rate, algo=algo, hash_algo=hash_algo, seeds=seeds),
+        num_blocks=num_blocks,
+        as_dataset=True,
+    )
+    block_refs = [r for bundle in blocks.iter_internal_ref_bundles() for r in bundle.block_refs]
+
+    @ray.remote(num_cpus=0)
+    def _lineage_of(tbl: pa.Table) -> pa.Table:
+        return tbl.drop_columns(["state"])  # shard, rows_in, build_ms, state_bytes
+
+    metas = ray.get([_lineage_of.remote(r) for r in block_refs])
+    shard_block = np.full(num_shards, -1, dtype=np.int32)
+    keep = []
+    for i, m in enumerate(metas):
+        if m.num_rows == 0:
+            continue
+        shard_block[np.asarray(m.column("shard"))] = i
+        keep.append(m)
+    lineage = (
+        pa.concat_tables(keep)
+        if keep
+        else pa.table(
+            {
+                "shard": pa.array([], pa.int32()),
+                "rows_in": pa.array([], pa.int64()),
+                "build_ms": pa.array([], pa.float64()),
+                "state_bytes": pa.array([], pa.int64()),
+            }
+        )
+    )
+    sb = ShardedBloom(
+        capacity, fp_rate, num_shards, algo, hash_algo, seeds, blocks, block_refs, shard_block
+    )
+    return sb, lineage

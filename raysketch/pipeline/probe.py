@@ -225,8 +225,13 @@ def probe_partitioned_shuffle(
     (order differs from the input) with ``keep`` columns + ``out_column``."""
     from ray.data.context import ShuffleStrategy
 
-    from raysketch.pipeline.partitioned import add_hash_columns
+    from raysketch.pipeline.partitioned import ShardedBloom, add_hash_columns
     from raysketch.sketches.bloom import BloomSketch
+
+    if isinstance(pb, ShardedBloom):
+        # shard-ref regime: blobs already live in object-store blocks; the
+        # driver never puts (nor ever held) a single shard byte
+        return _probe_sharded_refs(ds, pb, column, out_column, keep, num_blocks)
 
     shard_refs = [
         ray.put(pb.shard_sketch(s).to_bytes()) for s in range(pb.num_shards)
@@ -371,3 +376,132 @@ def exact_semi_join(ds, keys, column: str, negate: bool = False, concurrency=Non
         return batch.filter(pa.array(hit))
 
     return ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _probe_sharded_refs(ds, sb, column, out_column, keep, num_blocks):
+    """Shard-routed probe against a :class:`ShardedBloom` (shard blobs in
+    object-store blocks, never on the driver). Identical routing + bit
+    semantics to the driver-held path; a probe task fetches only the BUILD
+    blocks its shards live in (plasma-shared, zero-copy on the same node) and
+    unpacks one shard at a time. Shards with no build block (zero build rows)
+    answer definitively absent."""
+    from ray.data.context import ShuffleStrategy
+
+    from raysketch.pipeline.partitioned import add_hash_columns
+    from raysketch.sketches.bloom import BloomSketch
+
+    block_refs = sb.block_refs
+    shard_block = sb.shard_block  # int32[num_shards], -1 = empty shard
+    num_shards, hash_algo, seeds = sb.num_shards, sb.hash_algo, sb.seeds
+
+    hashed = ds.map_batches(
+        lambda b: add_hash_columns(b, column, num_shards, hash_algo, seeds, keep=keep),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    hashed.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    if num_blocks is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        num_blocks = max(8, min(num_shards, 64, ncpu * 2))
+    parts = hashed.repartition(num_blocks=num_blocks, keys=["shard"])
+
+    def probe_block(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {c: batch.column(c) for c in keep if c in batch.column_names}
+        if n == 0:
+            cols[out_column] = pa.array([], pa.bool_())
+            return pa.table(cols)
+        sid = np.asarray(batch.column("shard").combine_chunks())
+        h1 = batch.column("h1").combine_chunks().to_numpy()
+        h2 = batch.column("h2").combine_chunks().to_numpy()
+        order = np.argsort(sid, kind="stable")
+        uniq, starts = np.unique(sid[order], return_index=True)
+        bounds = np.append(starts, n)
+        hits = np.zeros(n, dtype=bool)
+        # fetch each needed BUILD block once (whole-shard groups; plasma gives
+        # the same node zero-copy reads), then probe per shard segment
+        need = np.unique(shard_block[uniq])
+        fetched = {int(bi): ray.get(block_refs[int(bi)]) for bi in need if bi >= 0}
+        for j, s in enumerate(uniq):
+            bi = int(shard_block[int(s)])
+            if bi < 0:
+                continue  # shard never built → definitively absent
+            tbl = fetched[bi]
+            row = np.nonzero(np.asarray(tbl.column("shard")) == s)[0]
+            if len(row) == 0:
+                continue
+            sk = BloomSketch.from_bytes(tbl.column("state")[int(row[0])].as_py())
+            seg = order[bounds[j] : bounds[j + 1]]
+            hits[seg] = sk.probe_hashes(h1[seg], h2[seg])
+        cols[out_column] = pa.array(hits)
+        return pa.table(cols)
+
+    return parts.map_batches(probe_block, batch_format="pyarrow", batch_size=None)
+
+
+def probe_partitioned_ckpt(
+    ds,
+    ckpt_dir: str,
+    column: str,
+    out_column: str = "member",
+    keep: tuple[str, ...] = (),
+    num_blocks: int | None = None,
+):
+    """Shard-routed probe straight from a ``checkpointed_partitioned_bloom``
+    directory — the multi-node answer when even object-store refs are the wrong
+    lifetime (filter built by an earlier job): each probe task reads ONLY the
+    shard parquet files its block routes to. ``ckpt_dir`` must be shared
+    storage (NFS/S3) on a real cluster, like any Ray Data read path. The driver
+    reads just the manifest (geometry); no shard blob ever transits it."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ray.data.context import ShuffleStrategy
+
+    from raysketch.pipeline.checkpoint import _shard_path, finished_shards
+    from raysketch.pipeline.partitioned import add_hash_columns
+    from raysketch.sketches.bloom import BloomSketch
+
+    with open(os.path.join(ckpt_dir, "manifest.json")) as f:
+        params = json.load(f)
+    num_shards = int(params["num_shards"])
+    done = finished_shards(ckpt_dir)
+    if done != set(range(num_shards)):
+        raise ValueError(f"checkpoint incomplete: {len(done)}/{num_shards} shards at {ckpt_dir}")
+    hash_algo, seeds = params["hash_algo"], tuple(params["seeds"])
+
+    hashed = ds.map_batches(
+        lambda b: add_hash_columns(b, column, num_shards, hash_algo, seeds, keep=keep),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    hashed.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    if num_blocks is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        num_blocks = max(8, min(num_shards, 64, ncpu * 2))
+    parts = hashed.repartition(num_blocks=num_blocks, keys=["shard"])
+
+    def probe_block(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {c: batch.column(c) for c in keep if c in batch.column_names}
+        if n == 0:
+            cols[out_column] = pa.array([], pa.bool_())
+            return pa.table(cols)
+        sid = np.asarray(batch.column("shard").combine_chunks())
+        h1 = batch.column("h1").combine_chunks().to_numpy()
+        h2 = batch.column("h2").combine_chunks().to_numpy()
+        order = np.argsort(sid, kind="stable")
+        uniq, starts = np.unique(sid[order], return_index=True)
+        bounds = np.append(starts, n)
+        hits = np.empty(n, dtype=bool)
+        for j, s in enumerate(uniq):
+            tbl = pq.read_table(_shard_path(ckpt_dir, int(s)), columns=["state"])
+            sk = BloomSketch.from_bytes(tbl.column("state")[0].as_py())
+            seg = order[bounds[j] : bounds[j + 1]]
+            hits[seg] = sk.probe_hashes(h1[seg], h2[seg])
+        cols[out_column] = pa.array(hits)
+        return pa.table(cols)
+
+    return parts.map_batches(probe_block, batch_format="pyarrow", batch_size=None)
