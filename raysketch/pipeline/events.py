@@ -12,7 +12,6 @@ insert order irrelevant, SURVEY.md §1.3).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -43,20 +42,39 @@ def tumbling_window_agg(
     """
 
     def partial(batch: pa.Table) -> pa.Table:
+        # lexsort + reduceat block partial (the repo-idiom pattern, e.g.
+        # text._segment_dup_stats) — no Arrow→pandas conversion, no pandas
+        # groupby per batch
+        n = batch.num_rows
         epoch = _epoch_seconds(batch.column(ts_col))
         window = (epoch // window_s) * window_s
-        keys = np.asarray(batch.column(key_col))
-        vals = batch.column(value_col).to_numpy(zero_copy_only=False)
-        df = pd.DataFrame({"k": keys, "w": window, "v": vals})
-        g = df.groupby(["k", "w"], sort=False)["v"].agg(["count", "sum", "min", "max"]).reset_index()
+        keys = np.asarray(batch.column(key_col).combine_chunks())
+        vals = batch.column(value_col).combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        if n == 0:
+            starts = np.empty(0, dtype=np.int64)
+            ks = keys
+            ws = counts = np.empty(0, dtype=np.int64)
+            sums = mins = maxs = np.empty(0, dtype=np.float64)
+        else:
+            order = np.lexsort((window, keys))
+            ks, ws, vs = keys[order], window[order], vals[order]
+            new = np.empty(n, dtype=bool)
+            new[0] = True
+            new[1:] = (ks[1:] != ks[:-1]) | (ws[1:] != ws[:-1])
+            starts = np.nonzero(new)[0]
+            counts = np.diff(np.append(starts, n))
+            sums = np.add.reduceat(vs, starts)
+            mins = np.minimum.reduceat(vs, starts)
+            maxs = np.maximum.reduceat(vs, starts)
+            ks, ws = ks[starts], ws[starts]
         return pa.table(
             {
-                key_col: pa.array(g["k"], pa.string()),
-                "window_start": pa.array(g["w"], pa.int64()),
-                "n_events": pa.array(g["count"], pa.int64()),
-                "sum_value": pa.array(g["sum"], pa.float64()),
-                "min_value": pa.array(g["min"], pa.float64()),
-                "max_value": pa.array(g["max"], pa.float64()),
+                key_col: pa.array(ks, pa.string()),
+                "window_start": pa.array(ws, pa.int64()),
+                "n_events": pa.array(counts, pa.int64()),
+                "sum_value": pa.array(sums, pa.float64()),
+                "min_value": pa.array(mins, pa.float64()),
+                "max_value": pa.array(maxs, pa.float64()),
             }
         )
 
@@ -90,22 +108,35 @@ def sliding_window_agg(
 
     def partial(batch: pa.Table) -> pa.Table:
         epoch = _epoch_seconds(batch.column(ts_col))
-        keys = np.asarray(batch.column(key_col))
-        vals = batch.column(value_col).to_numpy(zero_copy_only=False)
-        # window starts containing t: floor((t - i*slide)/window)*... simpler:
-        # all starts s with s <= t < s+window and s ≡ 0 (mod slide):
+        keys = np.asarray(batch.column(key_col).combine_chunks())
+        vals = batch.column(value_col).combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        # window starts containing t: all starts s with s <= t < s+window and
+        # s ≡ 0 (mod slide) — the event fans out to its windows in-batch
         base = (epoch // slide_s) * slide_s
-        starts = np.concatenate([base - i * slide_s for i in range(fan)])
+        win = np.concatenate([base - i * slide_s for i in range(fan)])
         k_rep = np.tile(keys, fan)
         v_rep = np.tile(vals, fan)
-        df = pd.DataFrame({"k": k_rep, "w": starts, "v": v_rep})
-        g = df.groupby(["k", "w"], sort=False)["v"].agg(["count", "sum"]).reset_index()
+        m = len(win)
+        if m == 0:
+            ks = k_rep
+            ws = counts = np.empty(0, dtype=np.int64)
+            sums = np.empty(0, dtype=np.float64)
+        else:
+            order = np.lexsort((win, k_rep))
+            ks, ws, vs = k_rep[order], win[order], v_rep[order]
+            new = np.empty(m, dtype=bool)
+            new[0] = True
+            new[1:] = (ks[1:] != ks[:-1]) | (ws[1:] != ws[:-1])
+            starts = np.nonzero(new)[0]
+            counts = np.diff(np.append(starts, m))
+            sums = np.add.reduceat(vs, starts)
+            ks, ws = ks[starts], ws[starts]
         return pa.table(
             {
-                key_col: pa.array(g["k"], pa.string()),
-                "window_start": pa.array(g["w"], pa.int64()),
-                "n_events": pa.array(g["count"], pa.int64()),
-                "sum_value": pa.array(g["sum"], pa.float64()),
+                key_col: pa.array(ks, pa.string()),
+                "window_start": pa.array(ws, pa.int64()),
+                "n_events": pa.array(counts, pa.int64()),
+                "sum_value": pa.array(sums, pa.float64()),
             }
         )
 
@@ -251,11 +282,13 @@ def range_join(
     per matching pair.
 
     Same distributed shape as ``asof_join``: tag + union + keyed HASH_SHUFFLE →
-    one task per block. In-block: both sides sorted by (key, ts); per key run the
-    match ranges come from two vectorized ``searchsorted`` calls over that key's
-    right timestamps (the Python loop is per DISTINCT KEY per block, with all
-    per-row work vectorized inside it), and pairs are emitted by repeat/arange
-    range flattening — no per-row or per-pair Python."""
+    one task per block. In-block: both sides sorted by (key, ts); the match
+    ranges for ALL left rows come from TWO global ``searchsorted`` calls over a
+    rank-space composite of the right side (dense key rank × monotone timestamp
+    id — both endpoints are members of the id space, so the closed interval is
+    exact), and pairs are emitted by repeat/arange range flattening. No
+    per-key, per-row or per-pair Python — cost is flat in key cardinality,
+    matching asof_join (the r3 review's high-cardinality degradation fixed)."""
     from ray.data.context import ShuffleStrategy
 
     def prep_left(batch: pa.Table) -> pa.Table:
@@ -318,21 +351,27 @@ def range_join(
         rk, rts, rvals = rk[ro], rts[ro], rvals[ro]
         lo_idx = np.zeros(len(lk), dtype=np.int64)
         hi_idx = np.zeros(len(lk), dtype=np.int64)
-        if len(rk):
-            # per distinct key: two searchsorted calls over that key's segment
-            l_new = np.empty(len(lk), dtype=bool)
-            if len(lk):
-                l_new[0] = True
-                np.not_equal(lk[1:], lk[:-1], out=l_new[1:])
-            l_bounds = np.append(np.nonzero(l_new)[0], len(lk))
-            for j in range(len(l_bounds) - 1):
-                a, b = l_bounds[j], l_bounds[j + 1]
-                kv = lk[a]
-                rs = np.searchsorted(rk, kv, side="left")
-                re_ = np.searchsorted(rk, kv, side="right")
-                seg = rts[rs:re_]
-                lo_idx[a:b] = rs + np.searchsorted(seg, lts[a:b] - window_us, side="left")
-                hi_idx[a:b] = rs + np.searchsorted(seg, lts[a:b], side="right")
+        if len(rk) and len(lk):
+            # rank-space composite: key_rank·M + ts_id is monotone in the
+            # right side's (key, ts) lexsort order, so ONE pair of global
+            # searchsorted calls answers every left row's closed interval.
+            # Both query endpoints (lts and lts−w) are members of the ts-id
+            # space, which makes the inclusive bounds exact:
+            #   rts >= lts−w  ⟺  ts_id(rts) >= id(lts−w)        (side="left")
+            #   rts <= lts    ⟺  ts_id(rts) <  id(lts)+1        (side="right")
+            uk, _ = np.unique(rk, return_index=True)
+            t_all = np.unique(np.concatenate([rts, lts, lts - window_us]))
+            M = np.int64(len(t_all) + 1)  # rank·M stays < ~3n² ≪ 2^63 per block
+            comp_r = np.searchsorted(uk, rk).astype(np.int64) * M + np.searchsorted(t_all, rts)
+            l_kid = np.searchsorted(uk, lk)
+            l_has = (l_kid < len(uk)) & (uk[np.clip(l_kid, 0, len(uk) - 1)] == lk)
+            l_kid = np.where(l_has, l_kid, 0).astype(np.int64)
+            lo_t = np.searchsorted(t_all, lts - window_us)
+            hi_t = np.searchsorted(t_all, lts, side="right")
+            lo_idx = np.searchsorted(comp_r, l_kid * M + lo_t, side="left")
+            hi_idx = np.searchsorted(comp_r, l_kid * M + hi_t, side="left")
+            lo_idx = np.where(l_has, lo_idx, 0)
+            hi_idx = np.where(l_has, hi_idx, 0)
         counts = hi_idx - lo_idx
         total = int(counts.sum())
         l_rep = np.repeat(np.arange(len(lk), dtype=np.int64), counts)

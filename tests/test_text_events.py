@@ -235,6 +235,50 @@ def test_range_join_matches_bruteforce(ray_session):
     assert np.allclose(got["matched_value"], exp["value"])
 
 
+def test_range_join_high_cardinality_keys(ray_session):
+    """100k distinct keys in one block: the r4 rank-space composite bounds must
+    stay correct (and flat in key cardinality — no per-key Python loop). Oracle
+    is closed-form: each key k has right rows at ts=1000k and 1000k+500_000,
+    left at ts=1000k+600_000 with window 400_000 → exactly the +500_000 row
+    matches for even keys; odd keys have no right rows at all."""
+    import ray.data as rd
+
+    from raysketch.pipeline.events import range_join
+
+    nk = 100_000
+    keys = np.arange(nk, dtype=np.int64)
+    even = keys[keys % 2 == 0]
+    lt = pa.table(
+        {
+            "event_id": pa.array(keys),
+            "user_id": pa.array(keys),
+            "ts": pa.array(keys * 1_000 + 600_000, pa.timestamp("us")),
+        }
+    )
+    rt = pa.table(
+        {
+            "user_id": pa.array(np.repeat(even, 2)),
+            "ts": pa.array(
+                (np.repeat(even, 2) * 1_000 + np.tile([0, 500_000], len(even))),
+                pa.timestamp("us"),
+            ),
+            "value": pa.array(np.repeat(even, 2).astype(np.float64)),
+        }
+    )
+    got = (
+        range_join(
+            rd.from_arrow(lt).repartition(2), rd.from_arrow(rt).repartition(2), window_us=400_000
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # only the +500_000 right row of each EVEN key is inside [ts-400k, ts]
+    assert got["event_id"].to_numpy().tolist() == even.tolist()
+    assert (got["matched_ts_us"].to_numpy() == even * 1_000 + 500_000).all()
+    assert (got["matched_value"].to_numpy() == even.astype(np.float64)).all()
+
+
 def test_repetition_signals_match_python_oracle():
     """repetition_batch vs a per-doc Counter oracle on adversarial docs: empty,
     single-line, all-duplicate, mixed-length lines, repeated 2-grams."""
