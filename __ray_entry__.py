@@ -417,6 +417,23 @@ def q_ann_topk(sf_dir: str):
     return out.select(["vec_id"]).to_pandas()
 
 
+def q_ann_topk_ds(sf_dir: str):
+    """Query-DATASET brute-force cosine top-10 (r4): the first three embeddings
+    are the query set, streamed in chunk_q=2 chunks so the chunked re-stream
+    path and the per-chunk query-id remap actually execute; merge machinery is
+    the same auto driver/tree path as ann_topk."""
+    from raysketch.pipeline.ann import ann_topk_ds
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qds = ds.filter(expr="vec_id < 3").map_batches(
+        lambda b: pa.table({"query_id": b.column("vec_id"), "embedding": b.column("embedding")}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    out = ann_topk_ds(ds, qds, k=10, chunk_q=2)
+    return out.select(["query_id", "vec_id"]).to_pandas()
+
+
 # ---------------------------------------------------------------------------
 # sketch / approximate queries (rows-only driver check; bounds tested in tests/)
 # ---------------------------------------------------------------------------
@@ -1836,9 +1853,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_dedup": q_jaccard_dedup,
         "simhash_dedup": q_simhash_dedup,
         "embedding_dedup": q_embedding_dedup,
-        "ann_ivf": q_ann_ivf,
+        "ann_topk_ds": q_ann_topk_ds,
         # --- position 51+: redundant-coverage variants (same machinery as an
         # in-window entry; locally gated) ---
+        "ann_ivf": q_ann_ivf,  # _BatchTopK + list mask, see ann_topk/ann_lsh
         "source_counts": q_source_counts,  # groupby-count, same as lang_counts
         "sliding_windows": q_sliding_windows,  # window partials, same as window_events
         "window_distinct": q_window_distinct,  # windowed distinct, see hll_window
@@ -1930,6 +1948,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id FROM embeddings "
             "ORDER BY list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id "
             "LIMIT 10"
+        ),
+        "ann_topk_ds": (
+            "SELECT q.vec_id AS query_id, t.vec_id FROM embeddings q, LATERAL ("
+            "SELECT e.vec_id FROM embeddings e "
+            "ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id "
+            "LIMIT 10) t WHERE q.vec_id < 3"
         ),
         # CMS width (8192) >> key cardinality (5 event types) → the 5 keys land in
         # distinct cells in every row (verified; deterministic in our fixed hashes),

@@ -50,6 +50,44 @@ def _quota_probe_ms() -> float:
     return round((time.perf_counter() - t0) * 1000, 1)
 
 
+_BOILERPLATE = (
+    "subscribe to our newsletter for updates and exclusive offers today",
+    "all rights reserved terms of service and privacy policy apply here",
+)
+
+
+def _ensure_boilerplate_corpus(src_dir: str, dst_dir: str) -> None:
+    """Derived hot-ngram bench corpus: every 10th doc gets the two shared
+    boilerplate lines appended, so hot_ngrams' threshold survives min_docs and
+    the STRING-RECOVERY second scan actually runs in the timed region.
+    Idempotent (marker file); vectorized Arrow kernels, no per-row Python."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    done = os.path.join(dst_dir, "_DONE")
+    if os.path.exists(done):
+        return
+    os.makedirs(dst_dir, exist_ok=True)
+    import numpy as np
+
+    bp = " ".join(_BOILERPLATE)
+    row0 = 0
+    for f in sorted(glob.glob(f"{src_dir}/*.parquet")):
+        t = pq.read_table(f, columns=["text"])
+        n = t.num_rows
+        mask = pa.array((np.arange(row0, row0 + n) % 10) == 0)
+        row0 += n
+        text = t.column("text").combine_chunks()
+        appended = pc.binary_join_element_wise(text, pa.scalar(bp), pa.scalar(" "))
+        out = pa.table({"text": pc.if_else(mask, appended, text)})
+        pq.write_table(out, os.path.join(dst_dir, os.path.basename(f)))
+    with open(done, "w") as fh:
+        fh.write("ok")
+
+
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
     import ray
 
@@ -110,8 +148,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     )
     keys_ref = ray.put(li_keys)  # sorted — the exact label oracle, broadcast once
     web_dir = "/tmp/raysketch_wp200k"
+    web_bp_dir = "/tmp/raysketch_wp200k_bp"
     if not scaling_only:
         gen_webpages(web_dir, rows=200_000, num_files=32)  # idempotent, cached
+        _ensure_boilerplate_corpus(web_dir, web_bp_dir)
 
     def one_round() -> tuple[dict, dict]:
         timings: dict[str, float] = {}
@@ -211,14 +251,16 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             )
         extras["extract_rows"] = n_web
 
-        # 6. hot-ngram boilerplate scan over the 200k-doc corpus: ~20M mostly
-        # distinct 3-gram incidences through the keyed-repartition block-sum
-        # df pass — the widest 8-byte-row exchange in the suite (the hot set
-        # itself is near empty on random text; size recorded as regression
-        # evidence). The native hash aggregate measured 147 s on this stage's
-        # singleton-heavy keys; the block-sum pass does it in ~10 s.
+        # 6. hot-ngram boilerplate scan over the 200k-doc corpus (every 10th doc
+        # carries planted boilerplate lines so the hot set is NON-empty and the
+        # timed path is the FULL operator — df pass AND the string-recovery
+        # second scan; VERDICT r3 'What's wrong #4'): ~20M mostly distinct
+        # 3-gram incidences through the keyed-repartition block-sum df pass —
+        # the widest 8-byte-row exchange in the suite. The native hash
+        # aggregate measured 147 s on this stage's singleton-heavy keys; the
+        # block-sum pass does it in ~10 s.
         with timed("hot_ngrams"):
-            hot = hot_ngrams(rd.read_parquet(web_dir, columns=["text"]), n=3, min_docs=5)
+            hot = hot_ngrams(rd.read_parquet(web_bp_dir, columns=["text"]), n=3, min_docs=5)
         extras["hot_ngrams_rows"] = int(hot.num_rows)
         return timings, extras
 

