@@ -1785,6 +1785,77 @@ def q_weighted_sample(sf_dir: str):
     )
 
 
+def q_pack_sequences(sf_dir: str):
+    """Concat-and-cut sequence packing over the real corpus (whitespace token
+    counts; budget 512): per doc the (start_seq, end_seq, start_off) it lands
+    at in the global token stream. Integer-exact — the oracle is a SQL window
+    cumsum. Distributed shape: two-level prefix sum (per-id-range partials →
+    bounded driver scan → keyed finalize), raysketch/pipeline/export.py."""
+    from raysketch.pipeline.export import pack_sequences
+    from raysketch.pipeline.text import token_count_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    with_tokens = docs.map_batches(
+        lambda t: token_count_batch(t).drop_columns(["text"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return (
+        pack_sequences(with_tokens, budget=512, part_span=64)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+
+
+def q_stratified_sample(sf_dir: str):
+    """Stratified proportional sample by lang (n_target=100): quota
+    max(1, (100*c)//total) per lang, the quota smallest doc_ids selected —
+    integer-exact vs the SQL row_number window. Distributed shape: map-side
+    per-key top-q combiner → keyed exchange of candidates only (never a whole
+    hot group), raysketch/pipeline/export.py."""
+    from raysketch.pipeline.export import stratified_sample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return (
+        stratified_sample(docs, key_col="lang", n_target=100)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+
+
+def q_line_dedup(sf_dir: str):
+    """CCNet-style duplicated-line removal on a SQL-checkable planted fixture
+    (the corpus text has no newlines): every doc gets two unique lines; docs
+    with doc_id%4==0 carry a shared 'copyright footer' line and doc_id%7==0 a
+    shared 'subscribe now' line (both hot at min_docs=5 for any sf). The
+    operator must strip exactly the planted boilerplate and rebuild the
+    remaining text — which plain SQL states. Natural-corpus behavior is
+    covered by tests/test_export.py."""
+    from raysketch.pipeline.decontam import line_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"))
+        texts = []
+        for i in ids:
+            lines = [f"u{i} alpha"]
+            if i % 4 == 0:
+                lines.append("copyright footer")
+            lines.append(f"u{i} beta")
+            if i % 7 == 0:
+                lines.append("subscribe now")
+            texts.append("\n".join(lines))
+        return pa.table({"doc_id": pa.array(ids), "text": pa.array(texts, pa.string())})
+
+    planted = ds.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        line_dedup(planted, min_docs=5)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -1813,8 +1884,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join": q_range_join,
         "sessionize": q_sessionize,
         "semi_join": q_semi_join,
-        "anti_join": q_anti_join,
         "lineitem_agg": q_lineitem_agg,
+        "pack_sequences": q_pack_sequences,
+        "stratified_sample": q_stratified_sample,
+        "line_dedup": q_line_dedup,
         "ann_topk": q_ann_topk,
         "top_per_group": q_top_per_group,
         "heavy_hitters": q_heavy_hitters,
@@ -1844,10 +1917,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_delete": q_bloom_delete,
         "hll_distinct": q_hll_distinct,
         "hll_by_lang": q_hll_by_lang,
-        "hll_window": q_hll_window,
         "cms_event_types": q_cms_event_types,
         "quantiles_tdigest": q_quantiles_tdigest,
-        "quantiles_kll": q_quantiles_kll,
         "theta_set_ops": q_theta_set_ops,
         "minhash_dedup": q_minhash_dedup,
         "jaccard_dedup": q_jaccard_dedup,
@@ -1857,6 +1928,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- position 51+: redundant-coverage variants (same machinery as an
         # in-window entry; locally gated) ---
         "ann_ivf": q_ann_ivf,  # _BatchTopK + list mask, see ann_topk/ann_lsh
+        "anti_join": q_anti_join,  # negated set probe, same machinery as semi_join
+        "hll_window": q_hll_window,  # keyed windowed HLL, see hll_by_lang + window_events
+        "quantiles_kll": q_quantiles_kll,  # quantile sketch variant, see quantiles_tdigest
         "source_counts": q_source_counts,  # groupby-count, same as lang_counts
         "sliding_windows": q_sliding_windows,  # window partials, same as window_events
         "window_distinct": q_window_distinct,  # windowed distinct, see hll_window
@@ -1939,6 +2013,30 @@ def oracle_sql() -> dict[str, str]:
         "anti_join": (
             "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
             "WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 200000)"
+        ),
+        "pack_sequences": (
+            "WITH c AS (SELECT doc_id, len(regexp_extract_all(text, '\\S+'))::BIGINT AS n "
+            "FROM documents), "
+            "w AS (SELECT doc_id, n, COALESCE(SUM(n) OVER (ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS pre FROM c) "
+            "SELECT doc_id, pre // 512 AS start_seq, "
+            "(pre + CASE WHEN n > 0 THEN n - 1 ELSE 0 END) // 512 AS end_seq, "
+            "pre % 512 AS start_off FROM w ORDER BY doc_id"
+        ),
+        "stratified_sample": (
+            "WITH cnt AS (SELECT lang, count(*)::BIGINT AS c FROM documents GROUP BY lang), "
+            "tot AS (SELECT count(*)::BIGINT AS t FROM documents), "
+            "tgt AS (SELECT lang, least(c, greatest(1, (100 * c) // t)) AS q FROM cnt, tot), "
+            "r AS (SELECT doc_id, lang, row_number() OVER "
+            "(PARTITION BY lang ORDER BY doc_id) AS rn FROM documents) "
+            "SELECT r.doc_id, r.lang FROM r JOIN tgt USING (lang) WHERE rn <= q ORDER BY doc_id"
+        ),
+        "line_dedup": (
+            "SELECT doc_id, "
+            "'u' || doc_id::VARCHAR || ' alpha' || chr(10) || 'u' || doc_id::VARCHAR || ' beta' "
+            "AS clean_text, 2::BIGINT AS n_kept, "
+            "((doc_id % 4 = 0)::BIGINT + (doc_id % 7 = 0)::BIGINT)::BIGINT AS n_removed "
+            "FROM documents ORDER BY doc_id"
         ),
         "lineitem_agg": (
             "SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS count_order, "

@@ -409,3 +409,84 @@ def dup_span_stats(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def line_dedup(
+    docs: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 5,
+    sep: str = "\n",
+):
+    """CCNet/RefinedWeb-style duplicated-line removal: drop every line that
+    appears (verbatim) in >= ``min_docs`` DISTINCT documents — site
+    boilerplate, nav text, cookie banners — and rebuild each document from
+    its surviving lines. Returns ``(id_col, clean_text, n_kept, n_removed)``.
+
+    Same two-pass, hash-only shape as ``hot_ngrams`` (the reference's
+    build-set-then-probe workload generalized to line granularity;
+    simple_benchmark.cpp whitelist/confusion loop): (1) per-block
+    per-doc-distinct line-hash incidences (8-byte rows) → keyed-repartition
+    block-sum + threshold (``_df_counts``) — the only wide exchange ships
+    ``(hash, count)`` int64 pairs, never strings; (2) the hot-hash set
+    (bounded by the >=``min_docs`` threshold, not the corpus) is broadcast
+    once via ``ray.put`` and each block drops matching lines and re-joins the
+    remainder with one vectorized ``ListArray``/``binary_join`` pass. No
+    driver funnel; at 100 TB the exchange is ~16 bytes per distinct
+    (doc, line) incidence.
+    """
+    hot_ref, empty = _hot_line_hashes(docs, text_col, min_docs, sep)
+
+    def clean(batch: pa.Table) -> pa.Table:
+        hs = ray.get(hot_ref) if hot_ref is not None else np.empty(0, np.uint64)
+        lists = pc.split_pattern(batch.column(text_col).combine_chunks(), sep)
+        offs = np.asarray(lists.offsets).astype(np.int64)
+        flat = lists.values
+        data, starts, lengths = column_spans(flat)
+        h = xxh64_vec(data, starts, lengths, 0)
+        drop = _in_sorted(hs, h)
+        keep = ~drop
+        n = batch.num_rows
+        per_doc_total = np.diff(offs)
+        ck = np.zeros(len(keep) + 1, dtype=np.int64)
+        np.cumsum(keep, out=ck[1:])
+        n_kept = ck[offs[1:]] - ck[offs[:-1]]
+        new_offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(n_kept, out=new_offs[1:])
+        kept_lines = flat.filter(pa.array(keep)) if not bool(keep.all()) else flat
+        lst = pa.ListArray.from_arrays(pa.array(new_offs, pa.int32()), kept_lines)
+        clean_text = pc.binary_join(lst, sep)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "clean_text": clean_text,
+                "n_kept": pa.array(n_kept, pa.int64()),
+                "n_removed": pa.array(per_doc_total - n_kept, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(clean, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _hot_line_hashes(docs, text_col: str, min_docs: int, sep: str):
+    """Sorted u64 hashes of lines appearing in >= ``min_docs`` distinct docs,
+    broadcast once (``ray.put``); ``(None, True)`` when nothing is hot."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(batch.column(text_col).combine_chunks(), sep)
+        offs = np.asarray(lists.offsets).astype(np.int64)
+        flat = lists.values
+        data, starts, lengths = column_spans(flat)
+        h = xxh64_vec(data, starts, lengths, 0)
+        doc = np.repeat(np.arange(batch.num_rows, dtype=np.int64), np.diff(offs))
+        hd, _ = _per_doc_distinct(h, doc)
+        uh, c = np.unique(hd, return_counts=True)
+        return pa.table({"h": uh.view(np.int64), "c": c.astype(np.int64)})
+
+    inc = docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    counts = _df_counts(inc, out_col="n_docs", min_count=min_docs).to_pandas()
+    if len(counts) == 0 or "h" not in counts.columns:
+        return None, True
+    hot_sorted = np.sort(counts["h"].to_numpy().view(np.uint64))
+    return ray.put(hot_sorted), False

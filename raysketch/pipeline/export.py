@@ -1,0 +1,204 @@
+"""Training-data export operators: token-stream sequence packing and
+stratified (per-group quota) sampling.
+
+Both are the last-mile stages of an LLM data pipeline — after dedup /
+decontamination / quality gates, the surviving corpus is (a) packed into
+fixed-token-budget training sequences and (b) rebalanced across languages or
+sources. They follow the repo's keyed-shuffle + vectorized-block pattern
+(BASELINE.md round-3: no per-group Python, block-local partials, bounded
+driver state) and are integer-exact so a plain-SQL oracle states the answer.
+
+Reference anchor: the range partitioner + per-partition sequential pass these
+generalize (simple_benchmark.cpp partition loop); packing/quotas themselves
+are standard LLM-pipeline practice (concat-and-cut sequence packing;
+proportional stratified allocation).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _keyed_parts(ds, keys: list[str], npart: int):
+    """HASH_SHUFFLE keyed repartition with the repo's exchange sizing: every
+    key lands wholly in one block, so one vectorized task per block sees
+    complete groups."""
+    from ray.data.context import ShuffleStrategy
+
+    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    ds.context.default_hash_shuffle_parallelism = npart
+    return ds.repartition(num_blocks=npart, keys=keys)
+
+
+def pack_sequences(
+    docs,
+    *,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    budget: int = 2048,
+    part_span: int = 1 << 20,
+):
+    """Concat-and-cut sequence packing: documents are laid end-to-end in
+    ``id_col`` order into one global token stream, which is cut every
+    ``budget`` tokens. Returns per doc: ``start_seq`` / ``end_seq`` (the
+    first/last training sequence the doc's tokens land in) and ``start_off``
+    (the doc's offset inside ``start_seq``). This is the packing discipline
+    actually used for LLM pretraining batches (docs may straddle sequence
+    boundaries); it is integer-exact, so the SQL window-cumsum oracle states
+    it directly.
+
+    Scale shape: the global prefix sum is two-level. Pass 1 computes per
+    id-range-partition token sums (``p = doc_id // part_span``) as tiny
+    ``(p, sum)`` block partials; the driver exclusive-scans the ~``id_space /
+    part_span`` partition sums (bounded driver state: 16 bytes per partition,
+    ~1.5 MB at 100 G docs) and broadcasts the base offsets. Pass 2 keyed-
+    repartitions rows by ``p`` — every partition wholly in one block — and
+    computes within-partition prefixes with one lexsort + segment cumsum.
+    No stage ships more than (id, n_tokens) pairs through the exchange.
+    """
+    import ray
+
+    from raysketch.pipeline.dedup import _num_partitions
+
+    narrow = docs.select_columns([id_col, token_col])
+
+    def part_sums(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col))
+        n = np.asarray(batch.column(token_col), dtype=np.int64)
+        p = ids // part_span
+        up, inv = np.unique(p, return_inverse=True)
+        s = np.bincount(inv, weights=n).astype(np.int64)
+        return pa.table({"p": up.astype(np.int64), "s": s})
+
+    sums = narrow.map_batches(part_sums, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    if len(sums) == 0 or "p" not in sums.columns:
+        return docs.select_columns([id_col]).map_batches(
+            lambda t: pa.table(
+                {
+                    id_col: t.column(id_col),
+                    "start_seq": pa.array(np.zeros(t.num_rows, np.int64)),
+                    "end_seq": pa.array(np.zeros(t.num_rows, np.int64)),
+                    "start_off": pa.array(np.zeros(t.num_rows, np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    per_p = sums.groupby("p", sort=True)["s"].sum()
+    ps = per_p.index.to_numpy(dtype=np.int64)
+    base = np.zeros(len(ps), dtype=np.int64)
+    np.cumsum(per_p.to_numpy(dtype=np.int64)[:-1], out=base[1:])
+    base_ref = ray.put((ps, base))
+
+    npart = _num_partitions()
+
+    def add_p(t: pa.Table) -> pa.Table:
+        return t.append_column("p", pa.array(np.asarray(t.column(id_col)) // part_span))
+
+    parts = _keyed_parts(
+        narrow.map_batches(add_p, batch_format="pyarrow", zero_copy_batch=True),
+        ["p"],
+        npart,
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        m = batch.num_rows
+        if m == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "start_seq": pa.array([], pa.int64()),
+                    "end_seq": pa.array([], pa.int64()),
+                    "start_off": pa.array([], pa.int64()),
+                }
+            )
+        ps_all, base_all = ray.get(base_ref)
+        ids = np.asarray(batch.column(id_col))
+        n = np.asarray(batch.column(token_col), dtype=np.int64)
+        p = np.asarray(batch.column("p"))
+        order = np.lexsort((ids, p))
+        po, io, no = p[order], ids[order], n[order]
+        # exclusive prefix within each partition segment
+        cs = np.zeros(m, dtype=np.int64)
+        np.cumsum(no[:-1], out=cs[1:])
+        seg_new = np.ones(m, dtype=bool)
+        seg_new[1:] = po[1:] != po[:-1]
+        seg_start = np.repeat(np.nonzero(seg_new)[0], np.diff(np.append(np.nonzero(seg_new)[0], m)))
+        pre = cs - cs[seg_start]
+        pre += base_all[np.searchsorted(ps_all, po)]
+        start_seq = pre // budget
+        last = pre + np.maximum(no - 1, 0)
+        end_seq = last // budget
+        return pa.table(
+            {
+                id_col: pa.array(io),
+                "start_seq": pa.array(start_seq),
+                "end_seq": pa.array(end_seq),
+                "start_off": pa.array(pre % budget),
+            }
+        )
+
+    return parts.map_batches(finalize, batch_format="pyarrow", batch_size=None)
+
+
+def stratified_sample(
+    docs,
+    *,
+    key_col: str = "lang",
+    id_col: str = "doc_id",
+    n_target: int = 1000,
+):
+    """Deterministic stratified sample with proportional allocation: each key
+    group gets quota ``q_g = max(1, (n_target * c_g) // total)`` (integer
+    arithmetic — bit-exact in SQL) and contributes its ``q_g`` smallest
+    ``id_col`` values. Returns ``(id_col, key_col)``.
+
+    Scale shape: group counts come from one native groupby (key cardinality
+    = languages/sources — tiny); quotas broadcast once. Selection is
+    distributed per-group rank WITHOUT co-locating whole groups' full rows:
+    a map-side partial keeps at most ``q_g`` candidate ids per key per block
+    (the classic top-k combiner), so the keyed exchange ships only
+    ``O(blocks x q_g)`` candidates per key, then one vectorized per-block
+    pass takes the final ``q_g`` smallest per key. A hot key (English at 50%
+    of a 100 TB corpus) never funnels its full group through one worker —
+    only its bounded candidate set.
+    """
+    import ray
+
+    from raysketch.pipeline.dedup import _num_partitions
+
+    narrow = docs.select_columns([id_col, key_col])
+    cnt = narrow.groupby(key_col).count().to_pandas()
+    if len(cnt) == 0 or key_col not in cnt.columns:
+        return narrow.limit(0)
+    ccol = [c for c in cnt.columns if c != key_col][0]
+    keys = cnt[key_col].to_numpy()
+    counts = cnt[ccol].to_numpy(dtype=np.int64)
+    total = int(counts.sum())
+    quotas = np.maximum(1, (int(n_target) * counts) // total)
+    quotas = np.minimum(quotas, counts)
+    order = np.argsort(keys)
+    qmap_ref = ray.put((keys[order], quotas[order]))
+
+    def rank_filter(batch: pa.Table) -> pa.Table:
+        m = batch.num_rows
+        if m == 0:
+            return batch
+        qkeys, qvals = ray.get(qmap_ref)
+        k = np.asarray(batch.column(key_col).combine_chunks())
+        ids = np.asarray(batch.column(id_col))
+        perm = np.lexsort((ids, k))
+        ks, _ = k[perm], ids[perm]
+        new = np.ones(m, dtype=bool)
+        new[1:] = ks[1:] != ks[:-1]
+        starts = np.nonzero(new)[0]
+        seg_start = np.repeat(starts, np.diff(np.append(starts, m)))
+        rank = np.arange(m, dtype=np.int64) - seg_start
+        q = qvals[np.searchsorted(qkeys, ks)]
+        mask = np.zeros(m, dtype=bool)
+        mask[perm[rank < q]] = True
+        return batch.filter(pa.array(mask))
+
+    pre = narrow.map_batches(rank_filter, batch_format="pyarrow", zero_copy_batch=True)
+    parts = _keyed_parts(pre, [key_col], _num_partitions())
+    return parts.map_batches(rank_filter, batch_format="pyarrow", batch_size=None)

@@ -1,0 +1,144 @@
+"""Tests for export-stage operators: sequence packing, stratified sampling,
+and line-level dedup — each checked against a single-process oracle."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _ds(df, blocks=4):
+    import ray
+
+    return ray.data.from_pandas(df).repartition(blocks)
+
+
+def _pack_oracle(ids, toks, budget):
+    order = np.argsort(ids)
+    ids, toks = np.asarray(ids)[order], np.asarray(toks)[order]
+    pre = np.zeros(len(ids), dtype=np.int64)
+    np.cumsum(toks[:-1], out=pre[1:])
+    start = pre // budget
+    end = (pre + np.maximum(toks - 1, 0)) // budget
+    return pd.DataFrame(
+        {"doc_id": ids, "start_seq": start, "end_seq": end, "start_off": pre % budget}
+    )
+
+
+class TestPackSequences:
+    def test_matches_sequential_oracle(self, ray_session):
+        from raysketch.pipeline.export import pack_sequences
+
+        rng = np.random.default_rng(7)
+        n = 5000
+        ids = rng.permutation(n * 3)[:n]  # sparse, shuffled ids
+        toks = rng.integers(0, 400, n)
+        df = pd.DataFrame({"doc_id": ids, "n_tokens": toks})
+        got = (
+            pack_sequences(_ds(df), budget=1000, part_span=256)
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        want = _pack_oracle(ids, toks, 1000).sort_values("doc_id", ignore_index=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_budget_invariants(self, ray_session):
+        from raysketch.pipeline.export import pack_sequences
+
+        df = pd.DataFrame({"doc_id": np.arange(100), "n_tokens": np.full(100, 300)})
+        out = pack_sequences(_ds(df), budget=1024, part_span=32).to_pandas()
+        assert (out["start_off"] < 1024).all()
+        assert (out["end_seq"] >= out["start_seq"]).all()
+        # total sequences = ceil(total_tokens / budget)
+        assert out["end_seq"].max() == (100 * 300 - 1) // 1024
+
+    def test_zero_token_docs(self, ray_session):
+        from raysketch.pipeline.export import pack_sequences
+
+        df = pd.DataFrame({"doc_id": [0, 1, 2], "n_tokens": [5, 0, 7]})
+        out = (
+            pack_sequences(_ds(df, blocks=2), budget=8, part_span=2)
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        want = _pack_oracle([0, 1, 2], [5, 0, 7], 8)
+        pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+class TestStratifiedSample:
+    def test_matches_quota_oracle(self, ray_session):
+        from raysketch.pipeline.export import stratified_sample
+
+        rng = np.random.default_rng(11)
+        langs = rng.choice(["en", "de", "fr", "zh", "sw"], size=2000, p=[0.6, 0.2, 0.1, 0.07, 0.03])
+        df = pd.DataFrame({"doc_id": rng.permutation(2000), "lang": langs})
+        got = (
+            stratified_sample(_ds(df), n_target=200)
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        # oracle: quota = max(1, 200*c//total), q smallest doc_ids per lang
+        cnt = df.groupby("lang").size()
+        total = len(df)
+        rows = []
+        for lang, c in cnt.items():
+            q = min(c, max(1, (200 * c) // total))
+            sub = df[df["lang"] == lang].nsmallest(q, "doc_id")
+            rows.append(sub)
+        want = (
+            pd.concat(rows)[["doc_id", "lang"]]
+            .sort_values("doc_id", ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_rare_group_floor(self, ray_session):
+        from raysketch.pipeline.export import stratified_sample
+
+        df = pd.DataFrame(
+            {"doc_id": np.arange(1001), "lang": ["en"] * 1000 + ["xx"]}
+        )
+        got = stratified_sample(_ds(df), n_target=10).to_pandas()
+        # the singleton group still gets its floor-of-1 row
+        assert (got["lang"] == "xx").sum() == 1
+
+
+class TestLineDedup:
+    def test_removes_hot_lines_only(self, ray_session):
+        from raysketch.pipeline.decontam import line_dedup
+
+        n = 60
+        texts = []
+        for i in range(n):
+            lines = [f"unique line a {i}", f"unique line b {i}"]
+            if i % 3 == 0:
+                lines.insert(1, "all rights reserved")
+            texts.append("\n".join(lines))
+        df = pd.DataFrame({"doc_id": np.arange(n), "text": texts})
+        out = (
+            line_dedup(_ds(df), min_docs=5)
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        for i in range(n):
+            row = out.iloc[i]
+            assert row["clean_text"] == f"unique line a {i}\nunique line b {i}"
+            assert row["n_kept"] == 2
+            assert row["n_removed"] == (1 if i % 3 == 0 else 0)
+
+    def test_threshold_respected(self, ray_session):
+        from raysketch.pipeline.decontam import line_dedup
+
+        # the shared line appears in 4 docs < min_docs=5 -> kept everywhere
+        texts = [f"only {i}\nshared" for i in range(4)]
+        df = pd.DataFrame({"doc_id": np.arange(4), "text": texts})
+        out = line_dedup(_ds(df, blocks=2), min_docs=5).to_pandas()
+        assert (out["n_removed"] == 0).all()
+        assert set(out["clean_text"]) == set(texts)
+
+    def test_all_lines_removed(self, ray_session):
+        from raysketch.pipeline.decontam import line_dedup
+
+        df = pd.DataFrame({"doc_id": np.arange(10), "text": ["spam"] * 10})
+        out = line_dedup(_ds(df, blocks=2), min_docs=5).to_pandas()
+        assert (out["clean_text"] == "").all()
+        assert (out["n_removed"] == 1).all()
