@@ -1785,6 +1785,22 @@ def q_weighted_sample(sf_dir: str):
     )
 
 
+def q_export_shards(sf_dir: str):
+    """Resumable sharded Parquet export (mod-16 routing on doc_id): writes the
+    corpus as one atomic file per shard under /tmp and returns the per-shard
+    row counts — which plain SQL states. Resume semantics (skip finished
+    shards, byte-deterministic files) are covered by
+    tests/test_shards_export.py."""
+    import tempfile
+
+    from raysketch.io.shards import write_corpus_shards
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    out_dir = tempfile.mkdtemp(prefix="raysketch_shards_", dir="/tmp")
+    summary = write_corpus_shards(docs, out_dir, key_col="doc_id", num_shards=16)
+    return summary[["shard", "n_rows"]]
+
+
 def q_pack_sequences(sf_dir: str):
     """Concat-and-cut sequence packing over the real corpus (whitespace token
     counts; budget 512): per doc the (start_seq, end_seq, start_off) it lands
@@ -1888,6 +1904,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": q_pack_sequences,
         "stratified_sample": q_stratified_sample,
         "line_dedup": q_line_dedup,
+        "export_shards": q_export_shards,
         "ann_topk": q_ann_topk,
         "top_per_group": q_top_per_group,
         "heavy_hitters": q_heavy_hitters,
@@ -1912,7 +1929,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_invariant": q_extract_invariant,
         # sketch / approximate (invariant rows)
         "bloom_membership": q_bloom_membership,
-        "bloom_membership_shuffle": q_bloom_membership_shuffle,
         "bloom_membership_refs": q_bloom_membership_refs,
         "bloom_delete": q_bloom_delete,
         "hll_distinct": q_hll_distinct,
@@ -1929,6 +1945,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # in-window entry; locally gated) ---
         "ann_ivf": q_ann_ivf,  # _BatchTopK + list mask, see ann_topk/ann_lsh
         "anti_join": q_anti_join,  # negated set probe, same machinery as semi_join
+        "bloom_membership_shuffle": q_bloom_membership_shuffle,  # driver-pb precursor of _refs
         "hll_window": q_hll_window,  # keyed windowed HLL, see hll_by_lang + window_events
         "quantiles_kll": q_quantiles_kll,  # quantile sketch variant, see quantiles_tdigest
         "source_counts": q_source_counts,  # groupby-count, same as lang_counts
@@ -2013,6 +2030,10 @@ def oracle_sql() -> dict[str, str]:
         "anti_join": (
             "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
             "WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 200000)"
+        ),
+        "export_shards": (
+            "SELECT doc_id % 16 AS shard, count(*)::BIGINT AS n_rows "
+            "FROM documents GROUP BY shard ORDER BY shard"
         ),
         "pack_sequences": (
             "WITH c AS (SELECT doc_id, len(regexp_extract_all(text, '\\S+'))::BIGINT AS n "
