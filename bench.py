@@ -57,10 +57,13 @@ _BOILERPLATE = (
 
 
 def _ensure_boilerplate_corpus(src_dir: str, dst_dir: str) -> None:
-    """Derived hot-ngram bench corpus: every 10th doc gets the two shared
-    boilerplate lines appended, so hot_ngrams' threshold survives min_docs and
-    the STRING-RECOVERY second scan actually runs in the timed region.
-    Idempotent (marker file); vectorized Arrow kernels, no per-row Python."""
+    """Derived hot-ngram/line-dedup bench corpus: every 10th doc gets the two
+    shared boilerplate LINES appended (newline-joined — whitespace to the
+    n-gram tokenizer, so hot_ngrams' token stream is unchanged vs the
+    space-joined v1, while line_dedup sees two genuinely hot lines). Keeps
+    hot_ngrams' threshold above min_docs so the STRING-RECOVERY second scan
+    runs in the timed region. Idempotent (versioned marker file); vectorized
+    Arrow kernels, no per-row Python."""
     import glob
 
     import pyarrow as pa
@@ -68,24 +71,25 @@ def _ensure_boilerplate_corpus(src_dir: str, dst_dir: str) -> None:
     import pyarrow.parquet as pq
 
     done = os.path.join(dst_dir, "_DONE")
-    if os.path.exists(done):
+    version = "v2-newline-joined"
+    if os.path.exists(done) and open(done).read() == version:
         return
     os.makedirs(dst_dir, exist_ok=True)
     import numpy as np
 
-    bp = " ".join(_BOILERPLATE)
+    bp = "\n".join(_BOILERPLATE)
     row0 = 0
     for f in sorted(glob.glob(f"{src_dir}/*.parquet")):
-        t = pq.read_table(f, columns=["text"])
+        t = pq.read_table(f, columns=["url", "text"])
         n = t.num_rows
         mask = pa.array((np.arange(row0, row0 + n) % 10) == 0)
         row0 += n
         text = t.column("text").combine_chunks()
-        appended = pc.binary_join_element_wise(text, pa.scalar(bp), pa.scalar(" "))
-        out = pa.table({"text": pc.if_else(mask, appended, text)})
+        appended = pc.binary_join_element_wise(text, pa.scalar(bp), pa.scalar("\n"))
+        out = pa.table({"url": t.column("url"), "text": pc.if_else(mask, appended, text)})
         pq.write_table(out, os.path.join(dst_dir, os.path.basename(f)))
     with open(done, "w") as fh:
-        fh.write("ok")
+        fh.write(version)
 
 
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
@@ -262,6 +266,41 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         with timed("hot_ngrams"):
             hot = hot_ngrams(rd.read_parquet(web_bp_dir, columns=["text"]), n=3, min_docs=5)
         extras["hot_ngrams_rows"] = int(hot.num_rows)
+
+        # 7. duplicated-line removal over the same corpus (the planted
+        # boilerplate lines are hot; the timed path is both the hash-only
+        # line-df exchange and the vectorized text rebuild of all 200k docs)
+        with timed("line_dedup"):
+            from raysketch.pipeline.decontam import line_dedup
+
+            ld = line_dedup(
+                rd.read_parquet(web_bp_dir, columns=["url", "text"]),
+                id_col="url",
+                min_docs=5,
+            )
+            extras["line_dedup_removed"] = int(ld.sum("n_removed"))
+
+        # 8. sequence packing over the events table (synthetic deterministic
+        # token counts — the packing machinery is the measured thing: two-level
+        # distributed prefix sum + keyed finalize)
+        with timed("pack_sequences"):
+            from raysketch.pipeline.export import pack_sequences
+
+            ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+            def tok(t):
+                ids = np.asarray(t.column("event_id"))
+                return pa.table(
+                    {"event_id": t.column("event_id"), "n_tokens": pa.array(ids % 700 + 1)}
+                )
+
+            packed = pack_sequences(
+                ev.map_batches(tok, batch_format="pyarrow", zero_copy_batch=True),
+                id_col="event_id",
+                token_col="n_tokens",
+                budget=2048,
+            )
+            extras["pack_sequences_rows"] = int(packed.count())
         return timings, extras
 
     best: dict[str, float] = {}
