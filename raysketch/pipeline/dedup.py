@@ -486,28 +486,27 @@ def _hot_members(band_rows, id_col: str, extra_cols: tuple[str, ...] = (), broad
     # bucket keys are mostly SINGLETONS (hot buckets are the rare case), so the
     # native count aggregate pays per-group machinery for nearly every row —
     # the r3 singleton-collapse lesson (BASELINE.md). Count via in-batch
-    # partials + keyed repartition + per-block sum, thresholded in the block
-    # pass so only hot keys ever leave it. Identical hot set.
+    # partials + the range-sort exchange with boundary fixup
+    # (``decontam._df_counts`` — measured 5x faster than the keyed hash
+    # repartition on singleton-heavy keys), thresholded in the block pass so
+    # only hot keys ever leave it. Identical hot set.
+    from raysketch.pipeline.decontam import _df_counts
+
     def count_partial(t: pa.Table) -> pa.Table:
         k = np.asarray(t.column("key"))
         uk, c = np.unique(k, return_counts=True)
-        return pa.table({"key": uk, "c": c.astype(np.int64)})
-
-    from ray.data.context import ShuffleStrategy
+        return pa.table({"h": uk, "c": c.astype(np.int64)})
 
     inc = band_rows.map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
-    inc.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    inc.context.default_hash_shuffle_parallelism = _partitions_for(n_band_rows)
-    parts = inc.repartition(num_blocks=_partitions_for(n_band_rows), keys=["key"])
-
-    def hot_block(t: pa.Table) -> pa.Table:
-        k = np.asarray(t.column("key"))
-        c = np.asarray(t.column("c"))
-        uk, inv = np.unique(k, return_inverse=True)
-        tot = np.bincount(inv, weights=c).astype(np.int64)
-        return pa.table({"key": uk[tot >= 2]})
-
-    hot = parts.map_batches(hot_block, batch_format="pyarrow", batch_size=None).materialize()
+    hot = (
+        _df_counts(inc, out_col="c", min_count=2)
+        .map_batches(
+            lambda t: pa.table({"key": t.column("h")}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()
+    )
     n_hot = hot.count()
     if n_hot == 0:
         return None, n_band_rows
