@@ -88,7 +88,6 @@ def exact_dedup(
     join (``strategy="join"``, the 10^9+-winners regime). ``auto`` picks broadcast
     under 5M winners. 64-bit fingerprint collisions are ~n²/2⁶⁵ — negligible below
     ~10⁹ docs; use a 128-bit fingerprint pair beyond that."""
-    from ray.data.context import ShuffleStrategy
 
     def add_fp(batch: pa.Table) -> pa.Table:
         h = hash_column(batch.column(text_col).combine_chunks(), algo="xxh64", seed=0)
@@ -108,15 +107,53 @@ def exact_dedup(
     pre = ds.map_batches(add_fp, batch_format="pyarrow", zero_copy_batch=True).map_batches(
         block_min, batch_format="pyarrow", zero_copy_batch=True
     )
-    pre.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    pre.context.default_hash_shuffle_parallelism = num_partitions
-    winners = (
-        pre.repartition(num_blocks=num_partitions, keys=["__fp"])
-        .map_batches(block_min, batch_format="pyarrow", batch_size=None)
-        .map_batches(
-            lambda b: pa.table({id_col: b.column(id_col)}), batch_format="pyarrow"
-        )
+    # final min via the range-sort exchange (the r4 lesson: the keyed hash
+    # repartition's aggregator machinery loses ~5x to ds.sort on singleton-
+    # heavy keys). A fingerprint may straddle adjacent sorted blocks, so each
+    # block emits its first/last fp's partial min flagged __edge; the driver
+    # re-mins the <= 2-per-block edge rows exactly. Min-of-mins == global min,
+    # so winners stay bitwise-identical to the hash-partitioned path.
+    import ray as _ray
+
+    def block_min_edge(batch: pa.Table) -> pa.Table:
+        fp = np.asarray(batch.column("__fp"))
+        ids = np.asarray(batch.column(id_col))
+        if len(fp) == 0:
+            return pa.table(
+                {
+                    "__fp": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "__edge": pa.array([], pa.bool_()),
+                }
+            )
+        order = np.lexsort((ids, fp))
+        fps, idss = fp[order], ids[order]
+        first = np.ones(len(fps), dtype=bool)
+        first[1:] = fps[1:] != fps[:-1]
+        uf, ui = fps[first], idss[first]
+        edge = np.zeros(len(uf), dtype=bool)
+        edge[0] = True
+        edge[-1] = True
+        return pa.table({"__fp": uf, id_col: ui, "__edge": pa.array(edge)})
+
+    parts = (
+        pre.sort("__fp")
+        .map_batches(block_min_edge, batch_format="pyarrow", batch_size=None)
+        .materialize()
     )
+    edge_pdf = (
+        parts.filter(expr="__edge == True").select_columns(["__fp", id_col]).to_pandas()
+    )
+    winners = parts.filter(expr="__edge == False").map_batches(
+        lambda b: pa.table({id_col: b.column(id_col)}), batch_format="pyarrow"
+    )
+    if len(edge_pdf) > 0 and "__fp" in edge_pdf.columns:
+        fix = edge_pdf.groupby("__fp", as_index=False)[id_col].min()
+        winners = winners.union(
+            _ray.data.from_arrow(
+                pa.table({id_col: pa.array(fix[id_col].to_numpy(), pa.int64())})
+            )
+        )
     if strategy == "auto":
         winners = winners.materialize()
         strategy = "broadcast" if winners.count() <= 5_000_000 else "join"
