@@ -676,11 +676,66 @@ def _emit_pairs(
         )
 
     pre = raw.map_batches(pair_reduce, batch_format="pyarrow", zero_copy_batch=True)
-    pre.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    pre.context.default_hash_shuffle_parallelism = num_partitions
-    deduped = pre.repartition(num_blocks=num_partitions, keys=["a", "b"]).map_batches(
-        pair_reduce, batch_format="pyarrow", batch_size=None
+    # final dedup/min via the range-sort exchange (the r4 sort-vs-hash-shuffle
+    # lesson): sort by (a, b), finalize interior pairs vectorized in-block,
+    # re-min the <= 2-per-block boundary pairs driver-side. Min-of-mins keeps
+    # the extras semantics identical to the keyed-repartition path.
+    import ray as _ray
+
+    out_cols = ["a", "b", *ecols]
+    pre = pre.materialize()
+    if pre.count() == 0:
+        # ds.sort on an all-empty Dataset is undefined across Ray versions;
+        # the typed empty blocks from pairs_block are already the answer
+        return pre.repartition(num_blocks=num_partitions)
+
+    def pair_finalize_edge(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    **{c: pa.array([], pa.int64()) for c in out_cols},
+                    "__edge": pa.array([], pa.bool_()),
+                }
+            )
+        a = np.asarray(t.column("a"))
+        b = np.asarray(t.column("b"))
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        new = np.ones(n, dtype=bool)
+        new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        starts = np.nonzero(new)[0]
+        out = {"a": a[starts], "b": b[starts]}
+        for c in ecols:
+            out[c] = np.minimum.reduceat(np.asarray(t.column(c))[order], starts)
+        edge = np.zeros(len(starts), dtype=bool)
+        edge[0] = True
+        edge[-1] = True
+        cols = {c: pa.array(v, pa.int64()) for c, v in out.items()}
+        cols["__edge"] = pa.array(edge)
+        return pa.table(cols)
+
+    parts2 = (
+        pre.sort(["a", "b"])
+        .map_batches(pair_finalize_edge, batch_format="pyarrow", batch_size=None)
+        .materialize()
     )
+    edge_pdf = (
+        parts2.filter(expr="__edge == True").select_columns(out_cols).to_pandas()
+    )
+    deduped = parts2.filter(expr="__edge == False").drop_columns(["__edge"])
+    if len(edge_pdf) > 0 and "a" in edge_pdf.columns:
+        if ecols:
+            fix = edge_pdf.groupby(["a", "b"], as_index=False)[list(ecols)].min()
+        else:
+            fix = edge_pdf.drop_duplicates(["a", "b"])
+        deduped = deduped.union(
+            _ray.data.from_arrow(
+                pa.table(
+                    {c: pa.array(fix[c].to_numpy(), pa.int64()) for c in out_cols}
+                )
+            )
+        )
 
     # skipped-empty blocks are SCHEMA-LESS; Acero joins downstream reject them
     # ("no match for FieldRef"). A plain repartition coalesces them into typed
