@@ -423,15 +423,14 @@ def dup_span_stats(
         np.maximum.at(nwin, inv, nw)
         return pa.table({id_col: uid, "n_windows": nwin, "__ndup": ndup})
 
-    from ray.data.aggregate import Max, Sum as _Sum
+    # per-doc final reduce: doc ids are singleton-heavy (groups ≈ docs), the
+    # native-aggregate collapse shape — use the range-sort exchange instead
+    from raysketch.pipeline.exchange import sorted_keyed_reduce
 
-    per_doc = (
-        joined.map_batches(reagg, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(id_col)
-        .aggregate(
-            _Sum("__ndup", alias_name="__ndup"),
-            Max("n_windows", alias_name="n_windows"),
-        )
+    per_doc = sorted_keyed_reduce(
+        joined.map_batches(reagg, batch_format="pyarrow", zero_copy_batch=True),
+        id_col,
+        {"__ndup": "sum", "n_windows": "max"},
     )
     return per_doc.map_batches(
         lambda t: pa.table(

@@ -377,12 +377,14 @@ def rare_token_stats(
         np.maximum.at(ntok, inv, nt)
         return pa.table({id_col: uid, "n_tokens": ntok, "__ncom": ncom})
 
-    from ray.data.aggregate import Max, Sum as _Sum
+    # per-doc final reduce: doc ids are singleton-heavy (groups ≈ docs), the
+    # native-aggregate collapse shape — use the range-sort exchange instead
+    from raysketch.pipeline.exchange import sorted_keyed_reduce
 
-    per_doc = (
-        joined.map_batches(reagg, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(id_col)
-        .aggregate(_Sum("__ncom", alias_name="__ncom"), Max("n_tokens", alias_name="n_tokens"))
+    per_doc = sorted_keyed_reduce(
+        joined.map_batches(reagg, batch_format="pyarrow", zero_copy_batch=True),
+        id_col,
+        {"__ncom": "sum", "n_tokens": "max"},
     )
     return per_doc.map_batches(
         lambda t: pa.table(
