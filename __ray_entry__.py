@@ -1817,7 +1817,7 @@ def q_pack_sequences(sf_dir: str):
         zero_copy_batch=True,
     )
     return (
-        pack_sequences(with_tokens, budget=512, part_span=64)
+        pack_sequences(with_tokens, budget=512)
         .to_pandas()
         .sort_values("doc_id", ignore_index=True)
     )

@@ -37,43 +37,41 @@ def pack_sequences(
     token_col: str = "n_tokens",
     id_col: str = "doc_id",
     budget: int = 2048,
-    part_span: int = 1 << 20,
 ):
     """Concat-and-cut sequence packing: documents are laid end-to-end in
-    ``id_col`` order into one global token stream, which is cut every
-    ``budget`` tokens. Returns per doc: ``start_seq`` / ``end_seq`` (the
-    first/last training sequence the doc's tokens land in) and ``start_off``
-    (the doc's offset inside ``start_seq``). This is the packing discipline
-    actually used for LLM pretraining batches (docs may straddle sequence
-    boundaries); it is integer-exact, so the SQL window-cumsum oracle states
-    it directly.
+    ``id_col`` order (ids must be unique) into one global token stream, which
+    is cut every ``budget`` tokens. Returns per doc: ``start_seq`` /
+    ``end_seq`` (the first/last training sequence the doc's tokens land in)
+    and ``start_off`` (the doc's offset inside ``start_seq``). This is the
+    packing discipline actually used for LLM pretraining batches (docs may
+    straddle sequence boundaries); it is integer-exact, so the SQL
+    window-cumsum oracle states it directly.
 
-    Scale shape: the global prefix sum is two-level. Pass 1 computes per
-    id-range-partition token sums (``p = doc_id // part_span``) as tiny
-    ``(p, sum)`` block partials; the driver exclusive-scans the ~``id_space /
-    part_span`` partition sums (bounded driver state: 16 bytes per partition,
-    ~1.5 MB at 100 G docs) and broadcasts the base offsets. Pass 2 keyed-
-    repartitions rows by ``p`` — every partition wholly in one block — and
-    computes within-partition prefixes with one lexsort + segment cumsum.
-    No stage ships more than (id, n_tokens) pairs through the exchange.
-    """
+    Scale shape: ONE range sort by ``id_col`` (blocks = disjoint id ranges),
+    then a two-level prefix sum over the SAME materialized blocks: a partials
+    pass emits each block's ``(min_id, token_sum)`` (one row per block), the
+    driver exclusive-scans those in id order (bounded: 16 bytes per block)
+    and broadcasts the base offsets; the finalize pass looks up its block's
+    base by its own min id and adds the in-block exclusive cumsum. No keyed
+    exchange at all — the r4 sort-vs-hash-shuffle lesson applied to prefix
+    sums (reference anchor: the static range partitioner + sequential
+    per-partition pass, simple_benchmark.cpp partition loop)."""
     import ray
 
-    from raysketch.pipeline.dedup import _num_partitions
+    s = docs.select_columns([id_col, token_col]).sort(id_col).materialize()
 
-    narrow = docs.select_columns([id_col, token_col])
+    def block_sum(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"m": pa.array([], pa.int64()), "s": pa.array([], pa.int64())})
+        ids = np.asarray(t.column(id_col))
+        n = np.asarray(t.column(token_col), dtype=np.int64)
+        return pa.table(
+            {"m": pa.array([int(ids.min())]), "s": pa.array([int(n.sum())])}
+        )
 
-    def part_sums(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column(id_col))
-        n = np.asarray(batch.column(token_col), dtype=np.int64)
-        p = ids // part_span
-        up, inv = np.unique(p, return_inverse=True)
-        s = np.bincount(inv, weights=n).astype(np.int64)
-        return pa.table({"p": up.astype(np.int64), "s": s})
-
-    sums = narrow.map_batches(part_sums, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
-    if len(sums) == 0 or "p" not in sums.columns:
-        return docs.select_columns([id_col]).map_batches(
+    sums = s.map_batches(block_sum, batch_format="pyarrow", batch_size=None).to_pandas()
+    if len(sums) == 0 or "m" not in sums.columns:
+        return s.map_batches(
             lambda t: pa.table(
                 {
                     id_col: t.column(id_col),
@@ -84,22 +82,11 @@ def pack_sequences(
             ),
             batch_format="pyarrow",
         )
-    per_p = sums.groupby("p", sort=True)["s"].sum()
-    ps = per_p.index.to_numpy(dtype=np.int64)
-    base = np.zeros(len(ps), dtype=np.int64)
-    np.cumsum(per_p.to_numpy(dtype=np.int64)[:-1], out=base[1:])
-    base_ref = ray.put((ps, base))
-
-    npart = _num_partitions()
-
-    def add_p(t: pa.Table) -> pa.Table:
-        return t.append_column("p", pa.array(np.asarray(t.column(id_col)) // part_span))
-
-    parts = _keyed_parts(
-        narrow.map_batches(add_p, batch_format="pyarrow", zero_copy_batch=True),
-        ["p"],
-        npart,
-    )
+    sums = sums.sort_values("m", ignore_index=True)
+    mins = sums["m"].to_numpy(dtype=np.int64)
+    base = np.zeros(len(mins), dtype=np.int64)
+    np.cumsum(sums["s"].to_numpy(dtype=np.int64)[:-1], out=base[1:])
+    base_ref = ray.put((mins, base))
 
     def finalize(batch: pa.Table) -> pa.Table:
         m = batch.num_rows
@@ -112,33 +99,26 @@ def pack_sequences(
                     "start_off": pa.array([], pa.int64()),
                 }
             )
-        ps_all, base_all = ray.get(base_ref)
+        mins_all, base_all = ray.get(base_ref)
         ids = np.asarray(batch.column(id_col))
         n = np.asarray(batch.column(token_col), dtype=np.int64)
-        p = np.asarray(batch.column("p"))
-        order = np.lexsort((ids, p))
-        po, io, no = p[order], ids[order], n[order]
-        # exclusive prefix within each partition segment
-        cs = np.zeros(m, dtype=np.int64)
-        np.cumsum(no[:-1], out=cs[1:])
-        seg_new = np.ones(m, dtype=bool)
-        seg_new[1:] = po[1:] != po[:-1]
-        seg_start = np.repeat(np.nonzero(seg_new)[0], np.diff(np.append(np.nonzero(seg_new)[0], m)))
-        pre = cs - cs[seg_start]
-        pre += base_all[np.searchsorted(ps_all, po)]
+        order = np.argsort(ids, kind="stable")
+        io, no = ids[order], n[order]
+        pre = np.zeros(m, dtype=np.int64)
+        np.cumsum(no[:-1], out=pre[1:])
+        pre += base_all[np.searchsorted(mins_all, int(io[0]))]
         start_seq = pre // budget
         last = pre + np.maximum(no - 1, 0)
-        end_seq = last // budget
         return pa.table(
             {
                 id_col: pa.array(io),
                 "start_seq": pa.array(start_seq),
-                "end_seq": pa.array(end_seq),
+                "end_seq": pa.array(last // budget),
                 "start_off": pa.array(pre % budget),
             }
         )
 
-    return parts.map_batches(finalize, batch_format="pyarrow", batch_size=None)
+    return s.map_batches(finalize, batch_format="pyarrow", batch_size=None)
 
 
 def stratified_sample(

@@ -35,7 +35,7 @@ class TestPackSequences:
         toks = rng.integers(0, 400, n)
         df = pd.DataFrame({"doc_id": ids, "n_tokens": toks})
         got = (
-            pack_sequences(_ds(df), budget=1000, part_span=256)
+            pack_sequences(_ds(df), budget=1000)
             .to_pandas()
             .sort_values("doc_id", ignore_index=True)
         )
@@ -46,7 +46,7 @@ class TestPackSequences:
         from raysketch.pipeline.export import pack_sequences
 
         df = pd.DataFrame({"doc_id": np.arange(100), "n_tokens": np.full(100, 300)})
-        out = pack_sequences(_ds(df), budget=1024, part_span=32).to_pandas()
+        out = pack_sequences(_ds(df), budget=1024).to_pandas()
         assert (out["start_off"] < 1024).all()
         assert (out["end_seq"] >= out["start_seq"]).all()
         # total sequences = ceil(total_tokens / budget)
@@ -57,7 +57,7 @@ class TestPackSequences:
 
         df = pd.DataFrame({"doc_id": [0, 1, 2], "n_tokens": [5, 0, 7]})
         out = (
-            pack_sequences(_ds(df, blocks=2), budget=8, part_span=2)
+            pack_sequences(_ds(df, blocks=2), budget=8)
             .to_pandas()
             .sort_values("doc_id", ignore_index=True)
         )
