@@ -1785,6 +1785,22 @@ def q_weighted_sample(sf_dir: str):
     )
 
 
+def q_mix_corpora(sf_dir: str):
+    """Deterministic domain mixing over three real sources (weights 2/1/1,
+    n_target=40 → largest-remainder quotas 20/10/10, quota smallest doc_ids
+    each) — the training-mixture composition step; the SQL row_number window
+    states it exactly."""
+    from raysketch.pipeline.export import mix_corpora
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    srcs = {s: docs.filter(expr=f"source == '{s}'") for s in ("src0", "src1", "src2")}
+    return (
+        mix_corpora(srcs, {"src0": 2, "src1": 1, "src2": 1}, n_target=40)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+
+
 def q_export_shards(sf_dir: str):
     """Resumable sharded Parquet export (mod-16 routing on doc_id): writes the
     corpus as one atomic file per shard under /tmp and returns the per-shard
@@ -1905,6 +1921,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q_stratified_sample,
         "line_dedup": q_line_dedup,
         "export_shards": q_export_shards,
+        "mix_corpora": q_mix_corpora,
         "ann_topk": q_ann_topk,
         "top_per_group": q_top_per_group,
         "heavy_hitters": q_heavy_hitters,
@@ -1939,10 +1956,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": q_minhash_dedup,
         "jaccard_dedup": q_jaccard_dedup,
         "simhash_dedup": q_simhash_dedup,
-        "embedding_dedup": q_embedding_dedup,
         "ann_topk_ds": q_ann_topk_ds,
         # --- position 51+: redundant-coverage variants (same machinery as an
         # in-window entry; locally gated) ---
+        "embedding_dedup": q_embedding_dedup,  # banded-LSH pair pipeline, see minhash/simhash
         "ann_ivf": q_ann_ivf,  # _BatchTopK + list mask, see ann_topk/ann_lsh
         "anti_join": q_anti_join,  # negated set probe, same machinery as semi_join
         "bloom_membership_shuffle": q_bloom_membership_shuffle,  # driver-pb precursor of _refs
@@ -2034,6 +2051,14 @@ def oracle_sql() -> dict[str, str]:
         "export_shards": (
             "SELECT doc_id % 16 AS shard, count(*)::BIGINT AS n_rows "
             "FROM documents GROUP BY shard ORDER BY shard"
+        ),
+        "mix_corpora": (
+            "WITH r AS (SELECT doc_id, source, row_number() OVER "
+            "(PARTITION BY source ORDER BY doc_id) AS rn FROM documents "
+            "WHERE source IN ('src0','src1','src2')) "
+            "SELECT doc_id, source FROM r WHERE (source = 'src0' AND rn <= 20) "
+            "OR (source = 'src1' AND rn <= 10) OR (source = 'src2' AND rn <= 10) "
+            "ORDER BY doc_id"
         ),
         "pack_sequences": (
             "WITH c AS (SELECT doc_id, len(regexp_extract_all(text, '\\S+'))::BIGINT AS n "

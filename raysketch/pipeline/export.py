@@ -127,6 +127,7 @@ def stratified_sample(
     key_col: str = "lang",
     id_col: str = "doc_id",
     n_target: int = 1000,
+    quotas: dict | None = None,
 ):
     """Deterministic stratified sample with proportional allocation: each key
     group gets quota ``q_g = max(1, (n_target * c_g) // total)`` (integer
@@ -142,12 +143,22 @@ def stratified_sample(
     pass takes the final ``q_g`` smallest per key. A hot key (English at 50%
     of a 100 TB corpus) never funnels its full group through one worker —
     only its bounded candidate set.
+
+    ``quotas``: explicit per-key targets (``{key: n}``) override the
+    proportional allocation — the domain-mixing use (see ``mix_corpora``);
+    keys absent from the dict contribute nothing.
     """
     import ray
 
-    from raysketch.pipeline.dedup import _num_partitions
-
     narrow = docs.select_columns([id_col, key_col])
+    if quotas is not None:
+        if not quotas:
+            return narrow.limit(0)
+        skeys = sorted(quotas)
+        qmap_ref = ray.put(
+            (np.array(skeys), np.array([int(quotas[k]) for k in skeys], dtype=np.int64))
+        )
+        return _rank_select(narrow, key_col, id_col, qmap_ref)
     cnt = narrow.groupby(key_col).count().to_pandas()
     if len(cnt) == 0 or key_col not in cnt.columns:
         return narrow.limit(0)
@@ -155,10 +166,21 @@ def stratified_sample(
     keys = cnt[key_col].to_numpy()
     counts = cnt[ccol].to_numpy(dtype=np.int64)
     total = int(counts.sum())
-    quotas = np.maximum(1, (int(n_target) * counts) // total)
-    quotas = np.minimum(quotas, counts)
+    qarr = np.maximum(1, (int(n_target) * counts) // total)
+    qarr = np.minimum(qarr, counts)
     order = np.argsort(keys)
-    qmap_ref = ray.put((keys[order], quotas[order]))
+    qmap_ref = ray.put((keys[order], qarr[order]))
+    return _rank_select(narrow, key_col, id_col, qmap_ref)
+
+
+def _rank_select(narrow, key_col: str, id_col: str, qmap_ref):
+    """Two-level per-key smallest-``q`` selection: map-side top-q combiner →
+    keyed exchange of candidates only → exact per-block finish. ``qmap_ref``
+    broadcasts a ``(sorted_keys, quotas)`` pair; keys absent from it get
+    quota 0 (their rows are dropped)."""
+    import ray
+
+    from raysketch.pipeline.dedup import _num_partitions
 
     def rank_filter(batch: pa.Table) -> pa.Table:
         m = batch.num_rows
@@ -168,13 +190,14 @@ def stratified_sample(
         k = np.asarray(batch.column(key_col).combine_chunks())
         ids = np.asarray(batch.column(id_col))
         perm = np.lexsort((ids, k))
-        ks, _ = k[perm], ids[perm]
+        ks = k[perm]
         new = np.ones(m, dtype=bool)
         new[1:] = ks[1:] != ks[:-1]
         starts = np.nonzero(new)[0]
         seg_start = np.repeat(starts, np.diff(np.append(starts, m)))
         rank = np.arange(m, dtype=np.int64) - seg_start
-        q = qvals[np.searchsorted(qkeys, ks)]
+        idx = np.clip(np.searchsorted(qkeys, ks), 0, len(qkeys) - 1)
+        q = np.where(qkeys[idx] == ks, qvals[idx], 0)
         mask = np.zeros(m, dtype=bool)
         mask[perm[rank < q]] = True
         return batch.filter(pa.array(mask))
@@ -182,3 +205,51 @@ def stratified_sample(
     pre = narrow.map_batches(rank_filter, batch_format="pyarrow", zero_copy_batch=True)
     parts = _keyed_parts(pre, [key_col], _num_partitions())
     return parts.map_batches(rank_filter, batch_format="pyarrow", batch_size=None)
+
+
+def mix_corpora(sources: dict, weights: dict, n_target: int, id_col: str = "doc_id"):
+    """Deterministic domain mixing: draw ``round(n_target * w_s / sum(w))``
+    docs (the quota smallest ``id_col`` values) from each source Dataset and
+    union them with a ``source`` label column — the training-mixture
+    composition step (e.g. 60% web / 30% code / 10% books). Integer
+    allocation by largest-remainder so the quotas sum exactly to
+    ``n_target`` (when feasible). Each source is sampled with the
+    ``stratified_sample`` candidate-bounded machinery (constant key), so no
+    source funnels through one worker."""
+    import ray
+
+    names = sorted(sources)
+    w = np.array([float(weights[n]) for n in names], dtype=np.float64)
+    if w.sum() <= 0:
+        raise ValueError("mix_corpora: weights must sum to a positive value")
+    exact = n_target * w / w.sum()
+    base = np.floor(exact).astype(np.int64)
+    rem = n_target - int(base.sum())
+    order = np.argsort(-(exact - base))
+    base[order[:rem]] += 1
+    picked = []
+    for name, q in zip(names, base):
+        if q <= 0:
+            continue
+        ds = sources[name]
+
+        def add_source(t: pa.Table, _n=name) -> pa.Table:
+            return t.append_column(
+                "source", pa.array(np.full(t.num_rows, _n, dtype=object), pa.string())
+            )
+
+        sel = stratified_sample(
+            ds.select_columns([id_col]).map_batches(
+                add_source, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            key_col="source",
+            id_col=id_col,
+            quotas={name: int(q)},
+        )
+        picked.append(sel)
+    if not picked:
+        raise ValueError("mix_corpora: all quotas are zero")
+    out = picked[0]
+    for p in picked[1:]:
+        out = out.union(p)
+    return out

@@ -142,3 +142,49 @@ class TestLineDedup:
         out = line_dedup(_ds(df, blocks=2), min_docs=5).to_pandas()
         assert (out["clean_text"] == "").all()
         assert (out["n_removed"] == 1).all()
+
+
+class TestMixCorpora:
+    def test_quota_allocation_and_selection(self, ray_session):
+        import ray
+
+        from raysketch.pipeline.export import mix_corpora
+
+        web = pd.DataFrame({"doc_id": np.arange(1000)})
+        code = pd.DataFrame({"doc_id": np.arange(500)})
+        books = pd.DataFrame({"doc_id": np.arange(200)})
+        out = mix_corpora(
+            {"web": _ds(web), "code": _ds(code), "books": _ds(books)},
+            {"web": 0.6, "code": 0.3, "books": 0.1},
+            n_target=100,
+        ).to_pandas()
+        counts = out.groupby("source").size().to_dict()
+        assert counts == {"web": 60, "code": 30, "books": 10}
+        # selection is the quota smallest ids per source
+        for s, q in counts.items():
+            ids = sorted(out[out["source"] == s]["doc_id"])
+            assert ids == list(range(q))
+
+    def test_largest_remainder_sums_to_target(self, ray_session):
+        from raysketch.pipeline.export import mix_corpora
+
+        a = pd.DataFrame({"doc_id": np.arange(100)})
+        b = pd.DataFrame({"doc_id": np.arange(100)})
+        c = pd.DataFrame({"doc_id": np.arange(100)})
+        out = mix_corpora(
+            {"a": _ds(a), "b": _ds(b), "c": _ds(c)},
+            {"a": 1, "b": 1, "c": 1},
+            n_target=10,
+        ).to_pandas()
+        assert len(out) == 10
+
+    def test_explicit_quota_drops_missing_keys(self, ray_session):
+        from raysketch.pipeline.export import stratified_sample
+
+        df = pd.DataFrame(
+            {"doc_id": np.arange(100), "lang": ["en"] * 50 + ["de"] * 50}
+        )
+        out = stratified_sample(_ds(df), quotas={"en": 5}).to_pandas()
+        assert len(out) == 5
+        assert (out["lang"] == "en").all()
+        assert sorted(out["doc_id"]) == list(range(5))
