@@ -1785,6 +1785,24 @@ def q_weighted_sample(sf_dir: str):
     )
 
 
+def q_token_stats_bpe(sf_dir: str):
+    """BPE-pretokenizer token counts (RE2-safe GPT-2-style pattern); Arrow
+    count_substring_regex and DuckDB regexp_extract_all both run RE2, so the
+    oracle is the same pattern verbatim."""
+    from raysketch.pipeline.text import token_count_bpe_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return (
+        docs.map_batches(
+            lambda t: token_count_bpe_batch(t).drop_columns(["text"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+
+
 def q_mix_corpora(sf_dir: str):
     """Deterministic domain mixing over three real sources (weights 2/1/1,
     n_target=40 → largest-remainder quotas 20/10/10, quota smallest doc_ids
@@ -1965,6 +1983,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_membership_shuffle": q_bloom_membership_shuffle,  # driver-pb precursor of _refs
         "hll_window": q_hll_window,  # keyed windowed HLL, see hll_by_lang + window_events
         "quantiles_kll": q_quantiles_kll,  # quantile sketch variant, see quantiles_tdigest
+        "token_stats_bpe": q_token_stats_bpe,  # RE2 count kernel, same as token_stats
         "source_counts": q_source_counts,  # groupby-count, same as lang_counts
         "sliding_windows": q_sliding_windows,  # window partials, same as window_events
         "window_distinct": q_window_distinct,  # windowed distinct, see hll_window
@@ -1997,6 +2016,11 @@ def oracle_sql() -> dict[str, str]:
         "source_counts": "SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source",
         "token_stats": (
             "SELECT doc_id, len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_tokens FROM documents"
+        ),
+        "token_stats_bpe": (
+            "SELECT doc_id, len(regexp_extract_all(text, "
+            "'''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+'"
+            "))::BIGINT AS n_bpe_tokens FROM documents ORDER BY doc_id"
         ),
         "quality_stats": (
             "SELECT lang, count(*)::BIGINT AS n_docs, sum(length(text))::BIGINT AS sum_chars, "

@@ -68,6 +68,23 @@ def token_count_batch(batch: pa.Table, col: str = "text", out: str = "n_tokens")
     return batch.append_column(out, pc.cast(counts, pa.int64()))
 
 
+# GPT-2-style pre-tokenizer, simplified to stay RE2-compatible (no lookahead):
+# contractions, space-prefixed letter runs, digit runs, punctuation runs, then
+# residual whitespace. Arrow's count_substring_regex and DuckDB's
+# regexp_extract_all both run RE2, so the SQL oracle is semantics-identical.
+BPE_PRETOKEN_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def token_count_bpe_batch(
+    batch: pa.Table, col: str = "text", out: str = "n_bpe_tokens"
+) -> pa.Table:
+    """BPE-pretokenizer token count (the unit a GPT-2-family tokenizer would
+    merge within) — the second token-budget estimator next to the whitespace
+    count; vectorized RE2 over the whole column."""
+    counts = pc.count_substring_regex(batch.column(col), BPE_PRETOKEN_RE)
+    return batch.append_column(out, pc.cast(counts, pa.int64()))
+
+
 def quality_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     """Deterministic quality features: char count, token count, mean token length,
     uppercase ratio is skipped (synthetic corpus is lowercase). All SQL-matchable."""

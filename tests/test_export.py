@@ -188,3 +188,27 @@ class TestMixCorpora:
         assert len(out) == 5
         assert (out["lang"] == "en").all()
         assert sorted(out["doc_id"]) == list(range(5))
+
+
+def test_bpe_pretoken_count_matches_re(ray_session):
+    import re
+
+    import ray
+
+    from raysketch.pipeline.text import BPE_PRETOKEN_RE, token_count_bpe_batch
+
+    texts = [
+        "It's a test-case, with 42 numbers and  double  spaces.",
+        "don't stop; URLs http://x.y/z count too!",
+        "",
+        "plainwords only here",
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    out = (
+        ray.data.from_pandas(df)
+        .map_batches(token_count_bpe_batch, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    want = [len(re.findall(BPE_PRETOKEN_RE, t)) for t in texts]
+    assert list(out["n_bpe_tokens"]) == want
