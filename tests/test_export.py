@@ -212,3 +212,26 @@ def test_bpe_pretoken_count_matches_re(ray_session):
     )
     want = [len(re.findall(BPE_PRETOKEN_RE, t)) for t in texts]
     assert list(out["n_bpe_tokens"]) == want
+
+
+class TestEmptyInputs:
+    def test_pack_sequences_empty(self, ray_session):
+        from raysketch.pipeline.export import pack_sequences
+
+        df = pd.DataFrame({"doc_id": pd.array([], dtype="int64"), "n_tokens": pd.array([], dtype="int64")})
+        out = pack_sequences(_ds(df, blocks=2), budget=8).to_pandas()
+        assert len(out) == 0
+
+    def test_stratified_sample_empty(self, ray_session):
+        from raysketch.pipeline.export import stratified_sample
+
+        df = pd.DataFrame({"doc_id": pd.array([], dtype="int64"), "lang": pd.array([], dtype="str")})
+        out = stratified_sample(_ds(df, blocks=2), n_target=5).to_pandas()
+        assert len(out) == 0
+
+    def test_line_dedup_empty(self, ray_session):
+        from raysketch.pipeline.decontam import line_dedup
+
+        df = pd.DataFrame({"doc_id": pd.array([], dtype="int64"), "text": pd.array([], dtype="str")})
+        out = line_dedup(_ds(df, blocks=2), min_docs=5).to_pandas()
+        assert len(out) == 0
