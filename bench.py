@@ -13,7 +13,10 @@ Headline pipelines over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) with
 - ``ann_topk``         brute-force cosine top-k over embeddings
 - ``ann_lsh``          LSH-bucketed (random-hyperplane) ANN, shuffle-free
 - ``window_events``    tumbling-window aggregate
-- ``dedup_exact``      hash-partitioned exact dedup
+- ``dedup_exact``      sort-exchange exact dedup
+- ``hot_ngrams``       two-pass boilerplate scan (planted-hot corpus)
+- ``line_dedup``       duplicated-line removal + text rebuild (same corpus)
+- ``pack_sequences``   concat-and-cut packing index over the events table
 
 ``--scaling``: run the identical MinHash sketch-build job in fresh processes at
 num_cpus=2 and num_cpus=8 (N and 4N, both below the sandbox host's sustained-core
