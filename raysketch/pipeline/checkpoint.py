@@ -266,3 +266,113 @@ def load_sketch(path: str):
 
     with open(path, "rb") as f:
         return sketch_from_bytes(f.read())
+
+
+def extend_checkpointed_bloom(ds, ckpt_dir: str, input_files: list[str] | None = None):
+    """Fold a NEW epoch's keys into an existing checkpointed filter: delta
+    shard builds with the manifest's exact geometry, OR-merged into each
+    shard's checkpoint file atomically by the task that owns the shard.
+
+    Safety model: each shard is handled by exactly one task of the keyed
+    build; the read-OR-write is atomic per shard (temp + rename). If a run
+    dies mid-extend, re-running it re-ORs the SAME delta bits — the
+    idempotent-OR property (the reference's race-tolerance insight,
+    parallel_bloom.h; COVERAGE.md row 8) makes the retry harmless for
+    membership. The ``rows_in`` lineage counter is advisory and may
+    double-count across a retried extend."""
+    manifest_path = os.path.join(ckpt_dir, "manifest.json")
+    with open(manifest_path) as f:
+        params = json.load(f)
+    num_shards = params["num_shards"]
+    if finished_shards(ckpt_dir) != set(range(num_shards)):
+        raise ValueError(f"extend requires a COMPLETE checkpoint at {ckpt_dir}")
+    column = params["column"]
+    per_shard_capacity = max(1, math.ceil(params["capacity"] / num_shards))
+    seeds = tuple(params["seeds"])
+
+    def hash_all(batch: pa.Table) -> pa.Table:
+        return add_hash_columns(batch, column, num_shards, params["hash_algo"], seeds)
+
+    hashed = ds.map_batches(hash_all, batch_format="pyarrow", zero_copy_batch=True)
+
+    def make_shard():
+        return BloomSketch(
+            per_shard_capacity,
+            params["fp_rate"],
+            algo=params["algo"],
+            hash_algo=params["hash_algo"],
+            seeds=seeds,
+        )
+
+    def or_into_checkpoint(sid: int, blob: bytes, rows_in: int, ms: float) -> None:
+        path = _shard_path(ckpt_dir, sid)
+        old = pq.read_table(path)
+        merged = BloomSketch.from_bytes(old.column("state")[0].as_py()).merge(
+            BloomSketch.from_bytes(blob)
+        )
+        mb = merged.to_bytes()
+        tbl = pa.table(
+            {
+                "shard": pa.array([sid], type=pa.int32()),
+                "state": pa.array([mb], type=pa.binary()),
+                "rows_in": pa.array(
+                    [int(old.column("rows_in")[0].as_py()) + rows_in], type=pa.int64()
+                ),
+                "build_ms": pa.array(
+                    [float(old.column("build_ms")[0].as_py()) + ms], type=pa.float64()
+                ),
+                "state_bytes": pa.array([len(mb)], type=pa.int64()),
+            }
+        )
+        _atomic_write_table(tbl, path)
+
+    from raysketch.pipeline.partitioned import _shuffle_build_rows
+
+    _shuffle_build_rows(hashed, num_shards, make_shard, on_shard=or_into_checkpoint)
+
+
+def epoch_dedup(
+    new_docs,
+    ckpt_dir: str,
+    column: str = "text",
+    *,
+    capacity: int | None = None,
+    fp_rate: float = 0.01,
+    num_shards: int = 64,
+    keep: tuple[str, ...] = (),
+):
+    """One epoch step of incremental corpus dedup (the production shape of the
+    ``dedup_incremental`` contract query): anti-join the new epoch against the
+    prior-epochs filter checkpoint, return the genuinely-new rows as a
+    Dataset, and fold THEIR keys into the checkpoint for the next epoch.
+
+    First epoch (no manifest yet): builds the checkpoint from ``new_docs``
+    (``capacity`` required — size it for the TOTAL corpus across epochs, not
+    one epoch) and returns ``new_docs`` unchanged. Exact-negative semantics:
+    a kept row is guaranteed not to repeat any prior-epoch key; a genuinely
+    new row is dropped only at the filter's false-positive rate."""
+    from raysketch.pipeline.probe import probe_partitioned_ckpt
+
+    manifest_path = os.path.join(ckpt_dir, "manifest.json")
+    if not os.path.exists(manifest_path):
+        if capacity is None:
+            raise ValueError("first epoch: capacity (total-corpus scale) is required")
+        checkpointed_partitioned_bloom(
+            new_docs,
+            column,
+            capacity=capacity,
+            ckpt_dir=ckpt_dir,
+            fp_rate=fp_rate,
+            num_shards=num_shards,
+        )
+        return new_docs
+    keep_cols = tuple(keep) or tuple(
+        c for c in new_docs.schema().names if c != column
+    )
+    probed = probe_partitioned_ckpt(
+        new_docs, ckpt_dir, column, keep=tuple(dict.fromkeys((*keep_cols, column)))
+    )
+    fresh = probed.filter(expr="member == False").drop_columns(["member"]).materialize()
+    if fresh.count():
+        extend_checkpointed_bloom(fresh, ckpt_dir)
+    return fresh

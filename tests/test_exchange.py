@@ -56,3 +56,24 @@ class TestSortedKeyedReduce:
             .sort_values("k", ignore_index=True)
         )
         assert list(got["v"]) == [3, 7, 1]
+
+
+def test_df_counts_dominant_key_all_blocks(ray_session):
+    """A key holding 90% of all rows spans EVERY sorted block — its partials
+    must be re-summed exactly once through the edge fixup, with min_count
+    applied after the global sum."""
+    import ray
+    import pyarrow as pa
+
+    from raysketch.pipeline.decontam import _df_counts
+
+    n = 40_000
+    h = np.where(np.arange(n) % 10 != 0, 7, np.arange(n) + 1000)  # 90% key=7
+    df = pd.DataFrame({"h": h.astype(np.int64), "c": np.ones(n, np.int64)})
+    ds = ray.data.from_pandas(df).repartition(8)
+    out = _df_counts(ds, out_col="n", min_count=2).to_pandas()
+    want = df.groupby("h")["c"].sum()
+    want = want[want >= 2]
+    got = out.set_index("h")["n"]
+    assert dict(got) == dict(want)
+    assert int(got[7]) == int((h == 7).sum())

@@ -80,3 +80,50 @@ def test_two_epoch_checkpoint_resume_anti_join(ray_session, tmp_path):
     # approximate guarantee: genuinely-new rows lost to false positives ≤ 2p
     dropped_new = len(new_ids) - len(kept_ids)
     assert dropped_new <= max(2 * 0.01 * len(new_ids), 3.0)
+
+
+def test_epoch_dedup_three_epochs(ray_session, tmp_path):
+    """The production wrapper: three epochs through one checkpoint dir.
+    Exact-negative invariant: no kept row ever repeats a key already folded
+    into the filter; FP losses bounded by the configured rate."""
+    import ray.data as rd
+
+    from raysketch.pipeline.checkpoint import epoch_dedup
+
+    ck = str(tmp_path / "epochs")
+    e1 = pd.DataFrame(
+        {"doc_id": np.arange(2000), "text": [f"first wave doc {i}" for i in range(2000)]}
+    )
+    out1 = epoch_dedup(rd.from_pandas(e1).repartition(4), ck, capacity=10_000, num_shards=8)
+    assert out1.count() == 2000
+
+    e2 = pd.DataFrame(
+        {
+            "doc_id": np.arange(5000, 7000),
+            "text": [f"first wave doc {i}" for i in range(1000)]  # dups of e1
+            + [f"second wave doc {i}" for i in range(1000)],
+        }
+    )
+    out2 = epoch_dedup(rd.from_pandas(e2).repartition(4), ck, capacity=10_000, num_shards=8)
+    kept2 = out2.to_pandas()
+    assert set(kept2.columns) == {"doc_id", "text"}
+    # exact-negative: every e1 duplicate excluded
+    assert not set(kept2["text"]) & set(e1["text"])
+    # FP losses only: at p=0.01, ~10 of the 1000 fresh may drop
+    assert len(kept2) >= 1000 - 40
+    assert all(t.startswith("second wave") for t in kept2["text"])
+
+    e3 = pd.DataFrame(
+        {
+            "doc_id": np.arange(9000, 10_500),
+            "text": [f"second wave doc {i}" for i in range(500)]  # dups of kept2
+            + [f"first wave doc {i}" for i in range(500)]  # dups of e1
+            + [f"third wave doc {i}" for i in range(500)],
+        }
+    )
+    out3 = epoch_dedup(rd.from_pandas(e3).repartition(4), ck, capacity=10_000, num_shards=8)
+    kept3 = out3.to_pandas()
+    prior_keys = set(e1["text"]) | set(kept2["text"])
+    assert not set(kept3["text"]) & prior_keys
+    assert len(kept3) >= 500 - 40
+    assert all(t.startswith("third wave") for t in kept3["text"])
