@@ -402,6 +402,17 @@ def build_partitioned_bloom_refs(
 
     @ray.remote(num_cpus=0)
     def _lineage_of(tbl: pa.Table) -> pa.Table:
+        if "state" not in tbl.column_names:
+            # skipped-empty keyed blocks are SCHEMA-LESS (the documented
+            # empty-Dataset gotcha) — emit a typed empty lineage row instead
+            return pa.table(
+                {
+                    "shard": pa.array([], pa.int32()),
+                    "rows_in": pa.array([], pa.int64()),
+                    "build_ms": pa.array([], pa.float64()),
+                    "state_bytes": pa.array([], pa.int64()),
+                }
+            )
         return tbl.drop_columns(["state"])  # shard, rows_in, build_ms, state_bytes
 
     metas = ray.get([_lineage_of.remote(r) for r in block_refs])

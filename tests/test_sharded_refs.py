@@ -120,3 +120,23 @@ def test_probe_from_checkpoint_dir_matches_broadcast(corpus_dir, queries_path, t
     assert int(np.sum(pred & ~label)) == cm_b["fp"]
     assert int(np.sum(~pred & label)) == 0
     assert int(np.sum(~pred & ~label)) == cm_b["tn"]
+
+
+def test_sharded_build_with_empty_keyed_blocks(ray_session):
+    """Small input + few shards leaves some keyed output blocks EMPTY and
+    schema-less; the refs build must survive them (regression: KeyError
+    'state' in _lineage_of) and the probe must still answer exactly."""
+    import ray.data as rd
+    import numpy as np
+    import pandas as pd
+
+    from raysketch.pipeline.partitioned import build_partitioned_bloom_refs
+    from raysketch.pipeline.probe import probe_partitioned_shuffle
+
+    df = pd.DataFrame({"k": np.arange(2000, dtype=np.int64)})
+    ds = rd.from_pandas(df).repartition(2)
+    sb, lineage = build_partitioned_bloom_refs(ds, "k", capacity=100_000, num_shards=16)
+    probe = rd.from_pandas(pd.DataFrame({"k": np.arange(1000, 3000, dtype=np.int64)})).repartition(2)
+    out = probe_partitioned_shuffle(probe, sb, "k", keep=("k",)).to_pandas()
+    member = out.set_index("k")["member"]
+    assert bool(member.loc[1000:1999].all())  # inserted: no false negatives
