@@ -430,9 +430,11 @@ def _probe_sharded_refs(ds, sb, column, out_column, keep, num_blocks):
             row = np.nonzero(np.asarray(tbl.column("shard")) == s)[0]
             if len(row) == 0:
                 continue
-            sk = BloomSketch.from_bytes(tbl.column("state")[int(row[0])].as_py())
             seg = order[bounds[j] : bounds[j + 1]]
-            hits[seg] = sk.probe_hashes(h1[seg], h2[seg])
+            # packed-blob probe: no 8x unpackbits expansion per shard
+            hits[seg] = BloomSketch.probe_blob(
+                tbl.column("state")[int(row[0])].as_py(), h1[seg], h2[seg]
+            )
         cols[out_column] = pa.array(hits)
         return pa.table(cols)
 
@@ -498,9 +500,11 @@ def probe_partitioned_ckpt(
         hits = np.empty(n, dtype=bool)
         for j, s in enumerate(uniq):
             tbl = pq.read_table(_shard_path(ckpt_dir, int(s)), columns=["state"])
-            sk = BloomSketch.from_bytes(tbl.column("state")[0].as_py())
             seg = order[bounds[j] : bounds[j + 1]]
-            hits[seg] = sk.probe_hashes(h1[seg], h2[seg])
+            # packed-blob probe: no 8x unpackbits expansion per shard
+            hits[seg] = BloomSketch.probe_blob(
+                tbl.column("state")[0].as_py(), h1[seg], h2[seg]
+            )
         cols[out_column] = pa.array(hits)
         return pa.table(cols)
 

@@ -140,3 +140,24 @@ def test_sharded_build_with_empty_keyed_blocks(ray_session):
     out = probe_partitioned_shuffle(probe, sb, "k", keep=("k",)).to_pandas()
     member = out.set_index("k")["member"]
     assert bool(member.loc[1000:1999].all())  # inserted: no false negatives
+
+
+def test_probe_blob_bitwise_equals_from_bytes():
+    """The packed-blob probe must agree bit-for-bit with deserialize+probe."""
+    import numpy as np
+
+    from raysketch.sketches.bloom import BloomSketch
+
+    rng = np.random.default_rng(9)
+    sk = BloomSketch(5000, 0.01)
+    h1 = rng.integers(0, 2**32, 3000, dtype=np.uint32)
+    h2 = rng.integers(0, 2**32, 3000, dtype=np.uint32) | 1
+    sk.update_hashes(h1[:1500], h2[:1500])
+    blob = sk.to_bytes()
+    q1 = rng.integers(0, 2**32, 4000, dtype=np.uint32)
+    q2 = rng.integers(0, 2**32, 4000, dtype=np.uint32) | 1
+    want = BloomSketch.from_bytes(blob).probe_hashes(q1, q2)
+    got = BloomSketch.probe_blob(blob, q1, q2)
+    assert np.array_equal(got, want)
+    # inserted hashes all hit through the packed path
+    assert BloomSketch.probe_blob(blob, h1[:1500], h2[:1500]).all()
