@@ -268,8 +268,8 @@ def probe_partitioned_shuffle(
         blobs = ray.get([shard_refs[int(s)] for s in uniq])
         for j, blob in enumerate(blobs):
             seg = order[bounds[j] : bounds[j + 1]]
-            sk = BloomSketch.from_bytes(blob)
-            hits[seg] = sk.probe_hashes(h1[seg], h2[seg])
+            # packed-blob probe: no 8x unpackbits expansion per shard
+            hits[seg] = BloomSketch.probe_blob(blob, h1[seg], h2[seg])
         cols[out_column] = pa.array(hits)
         return pa.table(cols)
 
