@@ -1785,6 +1785,36 @@ def q_weighted_sample(sf_dir: str):
     )
 
 
+def q_url_canonicalize(sf_dir: str):
+    """URL canonicalization on a planted fixture (documents carry no url
+    column): mixed-case scheme/host, default ports, fragments, missing paths.
+    The operator parses generically (extract_regex + Arrow kernels); the SQL
+    oracle states the expected canonical form per doc_id."""
+    from raysketch.pipeline.text import canonicalize_url_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"))
+        urls = [
+            (
+                f"HTTP://ExAmple{i % 7}.COM:80/p{i}"
+                if i % 2 == 0
+                else f"https://SiTe{i % 5}.OrG:443"
+            )
+            + ("#sec" if i % 3 == 0 else "")
+            for i in ids
+        ]
+        return pa.table({"doc_id": pa.array(ids), "url": pa.array(urls, pa.string())})
+
+    planted = ds.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        planted.map_batches(canonicalize_url_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)[["doc_id", "canonical_url"]]
+    )
+
+
 def q_token_stats_bpe(sf_dir: str):
     """BPE-pretokenizer token counts (RE2-safe GPT-2-style pattern); Arrow
     count_substring_regex and DuckDB regexp_extract_all both run RE2, so the
@@ -1984,6 +2014,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_window": q_hll_window,  # keyed windowed HLL, see hll_by_lang + window_events
         "quantiles_kll": q_quantiles_kll,  # quantile sketch variant, see quantiles_tdigest
         "token_stats_bpe": q_token_stats_bpe,  # RE2 count kernel, same as token_stats
+        "url_canonicalize": q_url_canonicalize,  # Arrow regex/string kernels, see pii_redact
         "source_counts": q_source_counts,  # groupby-count, same as lang_counts
         "sliding_windows": q_sliding_windows,  # window partials, same as window_events
         "window_distinct": q_window_distinct,  # windowed distinct, see hll_window
@@ -2075,6 +2106,12 @@ def oracle_sql() -> dict[str, str]:
         "export_shards": (
             "SELECT doc_id % 16 AS shard, count(*)::BIGINT AS n_rows "
             "FROM documents GROUP BY shard ORDER BY shard"
+        ),
+        "url_canonicalize": (
+            "SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN "
+            "'http://example' || (doc_id % 7)::VARCHAR || '.com/p' || doc_id::VARCHAR "
+            "ELSE 'https://site' || (doc_id % 5)::VARCHAR || '.org/' END "
+            "AS canonical_url FROM documents ORDER BY doc_id"
         ),
         "mix_corpora": (
             "WITH r AS (SELECT doc_id, source, row_number() OVER "

@@ -514,3 +514,45 @@ def length_filter(
         return batch.filter(pa.array((v >= lo) & (v <= hi)))
 
     return docs.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True), lo, hi
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (webtext pipelines dedup by canonical URL before any
+# content pass; reference anchor: the whitelist key normalization this
+# generalizes, simple_benchmark.cpp whitelist reader)
+# ---------------------------------------------------------------------------
+
+_URL_RE = r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.-]*)://(?P<host>[^/#?]+)(?P<rest>[^#]*)(?P<frag>#.*)?$"
+
+
+def canonicalize_url_array(urls: pa.Array) -> pa.Array:
+    """Vectorized URL canonicalization: lowercase scheme and host, strip the
+    scheme's default port (:80 for http, :443 for https), drop the fragment,
+    and normalize an empty path to "/". Rows that don't parse as
+    scheme://host... pass through unchanged. One ``extract_regex`` + Arrow
+    kernels — no per-row Python."""
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    m = pc.extract_regex(urls, _URL_RE)
+    valid = m.is_valid()
+    scheme = pc.ascii_lower(pc.struct_field(m, "scheme"))
+    host = pc.ascii_lower(pc.struct_field(m, "host"))
+    h80 = pc.replace_substring_regex(host, ":80$", "")
+    h443 = pc.replace_substring_regex(host, ":443$", "")
+    host = pc.if_else(
+        pc.equal(scheme, "http"),
+        h80,
+        pc.if_else(pc.equal(scheme, "https"), h443, host),
+    )
+    rest = pc.struct_field(m, "rest")
+    rest = pc.if_else(pc.equal(rest, ""), pa.scalar("/"), rest)
+    canon = pc.binary_join_element_wise(
+        scheme, pa.scalar("://"), host, rest, pa.scalar(""), null_handling="replace"
+    )
+    return pc.if_else(valid, canon, urls)
+
+
+def canonicalize_url_batch(
+    batch: pa.Table, col: str = "url", out: str = "canonical_url"
+) -> pa.Table:
+    return batch.append_column(out, canonicalize_url_array(batch.column(col)))

@@ -235,3 +235,31 @@ class TestEmptyInputs:
         df = pd.DataFrame({"doc_id": pd.array([], dtype="int64"), "text": pd.array([], dtype="str")})
         out = line_dedup(_ds(df, blocks=2), min_docs=5).to_pandas()
         assert len(out) == 0
+
+
+def test_canonicalize_url_cases(ray_session):
+    import pyarrow as pa
+
+    from raysketch.pipeline.text import canonicalize_url_array
+
+    a = pa.array(
+        [
+            "HTTP://Example.COM:80/Path1#frag",
+            "https://a.b/c?q=1",
+            "notaurl",
+            "HTTPS://X.Y:443/",
+            "http://h.i",
+            "ftp://Site.Org:80/x",  # non-http default port kept
+            None,
+        ]
+    )
+    got = canonicalize_url_array(a).to_pylist()
+    assert got == [
+        "http://example.com/Path1",
+        "https://a.b/c?q=1",
+        "notaurl",
+        "https://x.y/",
+        "http://h.i/",
+        "ftp://site.org:80/x",
+        None,
+    ]
