@@ -1785,6 +1785,24 @@ def q_weighted_sample(sf_dir: str):
     )
 
 
+def q_chunk_text(sf_dir: str):
+    """Overlapping-window chunking over the real corpus (256-byte chunks,
+    stride 192) — the RAG/embedding pre-pass; the SQL generate_series +
+    substring oracle states it exactly on the ASCII corpus."""
+    from raysketch.pipeline.text import chunk_text_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return (
+        docs.map_batches(
+            lambda t: chunk_text_batch(t, chunk_size=256, stride=192),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"], ignore_index=True)
+    )
+
+
 def q_url_canonicalize(sf_dir: str):
     """URL canonicalization on a planted fixture (documents carry no url
     column): mixed-case scheme/host, default ports, fragments, missing paths.
@@ -2015,6 +2033,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_kll": q_quantiles_kll,  # quantile sketch variant, see quantiles_tdigest
         "token_stats_bpe": q_token_stats_bpe,  # RE2 count kernel, same as token_stats
         "url_canonicalize": q_url_canonicalize,  # Arrow regex/string kernels, see pii_redact
+        "chunk_text": q_chunk_text,  # ragged byte gather, the extract_text kernel shape
         "source_counts": q_source_counts,  # groupby-count, same as lang_counts
         "sliding_windows": q_sliding_windows,  # window partials, same as window_events
         "window_distinct": q_window_distinct,  # windowed distinct, see hll_window
@@ -2106,6 +2125,13 @@ def oracle_sql() -> dict[str, str]:
         "export_shards": (
             "SELECT doc_id % 16 AS shard, count(*)::BIGINT AS n_rows "
             "FROM documents GROUP BY shard ORDER BY shard"
+        ),
+        "chunk_text": (
+            "WITH w AS (SELECT doc_id, text, "
+            "unnest(generate_series(0, length(text) - 1, 192)) AS s FROM documents) "
+            "SELECT doc_id, (s // 192)::BIGINT AS chunk_idx, s::BIGINT AS start_off, "
+            "substring(text, s::INT + 1, 256) AS chunk_text FROM w "
+            "ORDER BY doc_id, chunk_idx"
         ),
         "url_canonicalize": (
             "SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN "

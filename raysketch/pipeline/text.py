@@ -556,3 +556,62 @@ def canonicalize_url_batch(
     batch: pa.Table, col: str = "url", out: str = "canonical_url"
 ) -> pa.Table:
     return batch.append_column(out, canonicalize_url_array(batch.column(col)))
+
+
+def chunk_text_batch(
+    batch: pa.Table,
+    col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 256,
+    stride: int = 192,
+) -> pa.Table:
+    """Overlapping-window document chunking (the RAG/embedding-pipeline
+    pre-pass): one chunk per window start ``k*stride < len(text)``, each
+    ``chunk_size`` bytes (byte == char on ASCII corpora — stated so the SQL
+    ``substring`` oracle matches; multi-byte text would need codepoint
+    slicing). Zero-length docs emit no chunks. Fully vectorized: per-doc
+    window counts, one ``np.repeat`` fan-out and one ragged byte gather —
+    the ``extract_text_array`` pattern."""
+    text = batch.column(col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    ids = np.asarray(batch.column(id_col))
+    data, starts, lengths = column_spans(text)
+    n_chunks = np.where(lengths > 0, (lengths + stride - 1) // stride, 0).astype(np.int64)
+    total = int(n_chunks.sum())
+    if total == 0:
+        return pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "chunk_idx": pa.array([], pa.int64()),
+                "start_off": pa.array([], pa.int64()),
+                "chunk_text": pa.array([], pa.string()),
+            }
+        )
+    doc_idx = np.repeat(np.arange(len(ids), dtype=np.int64), n_chunks)
+    bounds = np.zeros(len(ids) + 1, dtype=np.int64)
+    np.cumsum(n_chunks, out=bounds[1:])
+    chunk_idx = np.arange(total, dtype=np.int64) - np.repeat(bounds[:-1], n_chunks)
+    start_off = chunk_idx * stride
+    clen = np.minimum(chunk_size, lengths[doc_idx] - start_off)
+    abs_start = starts[doc_idx] + start_off
+    offsets = np.zeros(total + 1, dtype=np.int64)
+    np.cumsum(clen, out=offsets[1:])
+    grand = int(offsets[-1])
+    idx = np.repeat(abs_start, clen) + (
+        np.arange(grand, dtype=np.int64) - np.repeat(offsets[:-1], clen)
+    )
+    buf = data[idx] if grand else np.empty(0, dtype=np.uint8)
+    chunks = pa.Array.from_buffers(
+        pa.utf8(),
+        total,
+        [None, pa.py_buffer(offsets.astype(np.int32)), pa.py_buffer(buf)],
+    )
+    return pa.table(
+        {
+            id_col: pa.array(ids[doc_idx]),
+            "chunk_idx": pa.array(chunk_idx),
+            "start_off": pa.array(start_off),
+            "chunk_text": chunks,
+        }
+    )

@@ -263,3 +263,17 @@ def test_canonicalize_url_cases(ray_session):
         "ftp://site.org:80/x",
         None,
     ]
+
+
+def test_chunk_text_windows(ray_session):
+    import pyarrow as pa
+
+    from raysketch.pipeline.text import chunk_text_batch
+
+    t = pa.table({"doc_id": [1, 2, 3], "text": ["abcdefghij", "", "xy"]})
+    out = chunk_text_batch(t, chunk_size=4, stride=3).to_pydict()
+    assert out["doc_id"] == [1, 1, 1, 1, 3]
+    assert out["chunk_text"] == ["abcd", "defg", "ghij", "j", "xy"]
+    assert out["start_off"] == [0, 3, 6, 9, 0]
+    # reassembly invariant: stride-aligned prefixes reconstruct the doc
+    assert "".join(c[:3] for c in out["chunk_text"][:4]).startswith("abcdefghi")
