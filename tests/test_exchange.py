@@ -2,6 +2,7 @@
 
 import numpy as np
 import pandas as pd
+import pytest
 
 
 class TestSortedKeyedReduce:
@@ -77,3 +78,37 @@ def test_df_counts_dominant_key_all_blocks(ray_session):
     got = out.set_index("h")["n"]
     assert dict(got) == dict(want)
     assert int(got[7]) == int((h == 7).sum())
+
+
+@pytest.mark.parametrize(
+    "blocks,nkeys",
+    [(1, 1), (2, 2), (7, 3), (8, 50_000), (5, 1), (16, 97)],
+)
+def test_sorted_reduce_shape_grid(ray_session, blocks, nkeys):
+    """Boundary-shape grid: single block, keys ≈ blocks (every key is an edge
+    key somewhere), singleton-heavy, and hot-key universes."""
+    import ray
+
+    from raysketch.pipeline.exchange import sorted_keyed_reduce
+
+    rng = np.random.default_rng(blocks * 1000 + nkeys)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, nkeys, n),
+            "s": rng.integers(-50, 50, n),
+            "m": rng.integers(0, 10**6, n),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(blocks)
+    got = (
+        sorted_keyed_reduce(ds, "k", {"s": "sum", "m": "min"})
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    want = (
+        df.groupby("k", as_index=False)
+        .agg({"s": "sum", "m": "min"})
+        .sort_values("k", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
