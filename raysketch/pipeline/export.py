@@ -84,6 +84,10 @@ def pack_sequences(
         )
     sums = sums.sort_values("m", ignore_index=True)
     mins = sums["m"].to_numpy(dtype=np.int64)
+    if len(mins) > 1 and (mins[1:] == mins[:-1]).any():
+        # two sorted blocks share a min id ⇒ duplicate ids straddle a block
+        # boundary — base lookup by min id would silently mis-assign prefixes
+        raise ValueError("pack_sequences requires unique ids (duplicate id spans blocks)")
     base = np.zeros(len(mins), dtype=np.int64)
     np.cumsum(sums["s"].to_numpy(dtype=np.int64)[:-1], out=base[1:])
     base_ref = ray.put((mins, base))

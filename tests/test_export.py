@@ -277,3 +277,19 @@ def test_chunk_text_windows(ray_session):
     assert out["start_off"] == [0, 3, 6, 9, 0]
     # reassembly invariant: stride-aligned prefixes reconstruct the doc
     assert "".join(c[:3] for c in out["chunk_text"][:4]).startswith("abcdefghi")
+
+
+def test_pack_sequences_duplicate_ids_single_block_conserves(ray_session):
+    """Duplicate ids that land in ONE sorted block are ordered arbitrarily but
+    consistently: the stream still covers every token exactly once. (A dup id
+    STRADDLING two sorted blocks raises ValueError — guarded in the driver
+    scan — but Ray's range sort keeps a single key in one block, so that path
+    is defense-in-depth, not constructible here.)"""
+    from raysketch.pipeline.export import pack_sequences
+
+    df = pd.DataFrame({"doc_id": np.zeros(60, np.int64), "n_tokens": np.full(60, 5, np.int64)})
+    out = pack_sequences(_ds(df, blocks=4), budget=7).to_pandas()
+    assert len(out) == 60
+    # total stream length = 300 tokens -> last sequence index = 299 // 7
+    assert out["end_seq"].max() == (60 * 5 - 1) // 7
+    assert (out["start_off"] < 7).all()
