@@ -3,7 +3,8 @@
 The instruction-level contract for 100 TB outputs: write partitioned Parquet
 (one file per key bucket) so a failed run can skip finished partitions —
 never one giant file, never a driver-side funnel. Rows route to
-``shard = key % num_shards`` (integer keys; SQL-exact) or
+``shard = key % num_shards`` (integer keys; floored mod — SQL
+``((key % n) + n) % n``) or
 ``xxh64(key) % num_shards``; each shard is written atomically (temp +
 rename) by the worker task that owns it, like
 ``checkpoint._atomic_write_table``. A re-run with the same ``out_dir``
@@ -53,9 +54,12 @@ def write_corpus_shards(
     resumably. Returns a summary DataFrame ``(shard, n_rows, skipped)`` —
     bounded by ``num_shards``, never the data.
 
-    ``shard_fn="mod"``: shard = key % num_shards (int keys; a plain-SQL
-    oracle can state per-shard counts). ``"hash"``: xxh64(key) %
-    num_shards (any key type, balanced under adversarial keys).
+    ``shard_fn="mod"``: shard = key % num_shards under numpy's FLOORED
+    modulo — always non-negative, so the matching SQL expression is
+    ``((key % n) + n) % n`` (DuckDB's plain ``%`` follows the dividend's
+    sign and diverges on negative keys; for non-negative keys the two are
+    identical). ``"hash"``: xxh64(key) % num_shards (any key type,
+    balanced under adversarial keys).
     ``sort_within`` sorts each shard by key before writing so shard files
     are byte-deterministic across runs and cluster shapes.
     """

@@ -119,6 +119,13 @@ def _df_counts(inc, out_col: str = "n", min_count: int | None = None):
     never see the singleton mass."""
     import ray
 
+    inc = inc.materialize()
+    if inc.count() == 0:
+        # ds.sort on an all-empty Dataset is undefined across Ray versions
+        # (the _emit_pairs guard) — emit the typed empty result directly
+        return ray.data.from_arrow(
+            pa.table({"h": pa.array([], pa.int64()), out_col: pa.array([], pa.int64())})
+        )
     s = inc.sort("h")
 
     def block(t: pa.Table) -> pa.Table:
@@ -246,19 +253,31 @@ def hot_ngrams(
     text_col: str = "text",
     n: int = 3,
     min_docs: int = 5,
-) -> pa.Table:
+    hot_switch: int = 5_000_000,
+    as_dataset: bool = False,
+    _stats: dict | None = None,
+):
     """Corpus-level boilerplate: ``(ngram, n_docs)`` for every word n-gram
-    appearing in >= ``min_docs`` DISTINCT documents.
+    appearing in >= ``min_docs`` DISTINCT documents. Returns a sorted
+    ``pa.Table`` by default, or the unsorted Dataset with ``as_dataset=True``
+    (the 100 TB escape hatch — never collects the hot table at all).
 
     Two hash-only passes: (1) per-block per-doc-distinct incidence counts
-    (8-byte rows) → keyed-repartition block-sum + threshold (``_df_counts``;
-    the only wide exchange ships ``(hash, partial_count)`` int64 pairs,
-    never strings); (2) a
-    re-scan recovers each hot hash's string from its first occurrence,
-    filtered task-side against the broadcast hot set. The final join runs on
-    the driver over the threshold-bounded hot table only (boilerplate
-    n-grams in >=K docs are a tiny fraction of the n-gram universe at any
-    corpus size — that bound, not the corpus, sizes the driver step)."""
+    (8-byte rows) → range-sort block-sum + threshold (``_df_counts``; the
+    only wide exchange ships ``(hash, partial_count)`` int64 pairs, never
+    strings); (2) a re-scan recovers each hot hash's string + count. The
+    recovery has two regimes like ``dup_span_stats``: at <= ``hot_switch``
+    hot hashes the ``(hash, n_docs)`` pairs broadcast once (``ray.put``) and
+    each block emits its local hits; past it, blocks emit their block-distinct
+    ``(h, ngram)`` rows into ONE inner hash-join against the hot table (no
+    broadcast of an oversized set). Either way the per-block hits are then
+    reduced to ONE representative row per hash DISTRIBUTEDLY
+    (``sorted_first_per_key``) — the driver receives only the <= 2-per-block
+    edge fixup, O(#blocks), never the old O(hot x blocks) collect (the r4
+    'What's wrong #1' fix)."""
+    from raysketch.pipeline.dedup import _num_partitions
+    from raysketch.pipeline.exchange import sorted_first_per_key
+
     def partial(batch: pa.Table) -> pa.Table:
         _, th, offs = _doc_tokens(batch.column(text_col))
         _, h, doc = _ngram_occurrences(th, offs, n)
@@ -267,40 +286,75 @@ def hot_ngrams(
         return pa.table({"h": uh.view(np.int64), "c": c.astype(np.int64)})
 
     inc = docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    counts = _df_counts(inc, out_col="n_docs", min_count=min_docs).to_pandas()
+    counts = _df_counts(inc, out_col="n_docs", min_count=min_docs).materialize()
     empty = pa.table({"ngram": pa.array([], pa.string()), "n_docs": pa.array([], pa.int64())})
-    if len(counts) == 0 or "h" not in counts.columns:
-        # an all-empty Dataset loses its schema through to_pandas; nothing is
-        # hot, so skip the recovery scan entirely
-        return empty
-    hot_sorted = np.sort(counts["h"].to_numpy().view(np.uint64))
-    hot_ref = ray.put(hot_sorted)
+    n_hot = counts.count()
+    if n_hot == 0:
+        # nothing is hot — skip the recovery scan entirely
+        return ray.data.from_arrow(empty) if as_dataset else empty
 
-    def recover(batch: pa.Table) -> pa.Table:
-        hs = ray.get(hot_ref)
-        flat, th, offs = _doc_tokens(batch.column(text_col))
-        starts, h, _ = _ngram_occurrences(th, offs, n)
-        m = _in_sorted(hs, h)
-        hm, sm = h[m], starts[m]
-        uh, idx = np.unique(hm, return_index=True)
-        # vectorized string rebuild: one token-gather per n-gram position +
-        # a single element-wise join — no per-hit Python even when the hot
-        # set is large (boilerplate-heavy corpora)
-        pos = sm[idx]
-        cols = [flat.take(pa.array(pos + j)) for j in range(n)]
-        strings = pc.binary_join_element_wise(*cols, " ")
-        return pa.table({"h": uh.view(np.int64), "ngram": strings})
+    if n_hot <= hot_switch:
+        hs_l, nd_l = [], []
+        for b in counts.iter_batches(batch_format="pyarrow"):
+            if b.num_rows:
+                hs_l.append(np.asarray(b.column("h")).view(np.uint64))
+                nd_l.append(np.asarray(b.column("n_docs")))
+        h_all = np.concatenate(hs_l)
+        nd_all = np.concatenate(nd_l)
+        order = np.argsort(h_all)
+        hot_ref = ray.put((h_all[order], nd_all[order]))
 
-    rec = (
-        docs.map_batches(recover, batch_format="pyarrow", zero_copy_batch=True)
-        .to_pandas()
-    )
-    if len(rec) == 0 or "h" not in rec.columns:
+        def recover(batch: pa.Table) -> pa.Table:
+            hs, nds = ray.get(hot_ref)
+            flat, th, offs = _doc_tokens(batch.column(text_col))
+            starts, h, _ = _ngram_occurrences(th, offs, n)
+            m = _in_sorted(hs, h)
+            hm, sm = h[m], starts[m]
+            uh, idx = np.unique(hm, return_index=True)
+            # vectorized string rebuild: one token-gather per n-gram position +
+            # a single element-wise join — no per-hit Python even when the hot
+            # set is large (boilerplate-heavy corpora)
+            pos = sm[idx]
+            cols = [flat.take(pa.array(pos + j)) for j in range(n)]
+            strings = pc.binary_join_element_wise(*cols, " ")
+            nd = nds[np.searchsorted(hs, uh)]
+            return pa.table(
+                {
+                    "h": uh.view(np.int64),
+                    "ngram": strings,
+                    "n_docs": pa.array(nd.astype(np.int64)),
+                }
+            )
+
+        rec = docs.map_batches(recover, batch_format="pyarrow", zero_copy_batch=True)
+    else:
+        # join regime: the hot set is too big to broadcast — ship each block's
+        # DISTINCT (h, ngram) rows once through a hash join with the hot table
+        # (plain repartition first coalesces schema-less empty blocks, as in
+        # dup_span_stats)
+        def recover_all(batch: pa.Table) -> pa.Table:
+            flat, th, offs = _doc_tokens(batch.column(text_col))
+            starts, h, _ = _ngram_occurrences(th, offs, n)
+            uh, idx = np.unique(h, return_index=True)
+            pos = starts[idx]
+            cols = [flat.take(pa.array(pos + j)) for j in range(n)]
+            strings = pc.binary_join_element_wise(*cols, " ")
+            return pa.table({"h": uh.view(np.int64), "ngram": strings})
+
+        npart = _num_partitions()
+        rec = docs.map_batches(
+            recover_all, batch_format="pyarrow", zero_copy_batch=True
+        ).join(counts.repartition(npart), "inner", npart, on=("h",))
+
+    reps = sorted_first_per_key(rec, "h", ["ngram", "n_docs"], _stats=_stats)
+    out_ds = reps.select_columns(["ngram", "n_docs"])
+    if as_dataset:
+        return out_ds
+    batches = [b for b in out_ds.iter_batches(batch_format="pyarrow") if b.num_rows]
+    if not batches:
         return empty
-    rec = rec.drop_duplicates("h")
-    out = counts.merge(rec, on="h")[["ngram", "n_docs"]]
-    out = out.sort_values("ngram", kind="mergesort", ignore_index=True)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    tbl = pa.concat_tables(batches)
+    return tbl.sort_by("ngram")
 
 
 def _char_window_hashes(
@@ -445,6 +499,40 @@ def dup_span_stats(
     )
 
 
+def _split_line_hashes(batch: pa.Table, text_col: str, sep: str):
+    """Per-batch line explode: ``(lists, line_hashes)`` with the repo's
+    xxh64(seed=0) convention — shared by both line_dedup regimes."""
+    lists = pc.split_pattern(batch.column(text_col).combine_chunks(), sep)
+    flat = lists.values
+    data, starts, lengths = column_spans(flat)
+    return lists, xxh64_vec(data, starts, lengths, 0)
+
+
+def _rebuild_from_keep(batch: pa.Table, lists, keep: np.ndarray, id_col: str, sep: str) -> pa.Table:
+    """Rebuild each doc from its kept lines (one vectorized ListArray/
+    binary_join pass) — shared by both line_dedup regimes."""
+    offs = np.asarray(lists.offsets).astype(np.int64)
+    flat = lists.values
+    n = batch.num_rows
+    per_doc_total = np.diff(offs)
+    ck = np.zeros(len(keep) + 1, dtype=np.int64)
+    np.cumsum(keep, out=ck[1:])
+    n_kept = ck[offs[1:]] - ck[offs[:-1]]
+    new_offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(n_kept, out=new_offs[1:])
+    kept_lines = flat.filter(pa.array(keep)) if not bool(keep.all()) else flat
+    lst = pa.ListArray.from_arrays(pa.array(new_offs, pa.int32()), kept_lines)
+    clean_text = pc.binary_join(lst, sep)
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "clean_text": clean_text,
+            "n_kept": pa.array(n_kept, pa.int64()),
+            "n_removed": pa.array(per_doc_total - n_kept, pa.int64()),
+        }
+    )
+
+
 def line_dedup(
     docs: "ray.data.Dataset",
     *,
@@ -452,6 +540,7 @@ def line_dedup(
     id_col: str = "doc_id",
     min_docs: int = 5,
     sep: str = "\n",
+    hot_switch: int = 5_000_000,
 ):
     """CCNet/RefinedWeb-style duplicated-line removal: drop every line that
     appears (verbatim) in >= ``min_docs`` DISTINCT documents — site
@@ -461,66 +550,120 @@ def line_dedup(
     Same two-pass, hash-only shape as ``hot_ngrams`` (the reference's
     build-set-then-probe workload generalized to line granularity;
     simple_benchmark.cpp whitelist/confusion loop): (1) per-block
-    per-doc-distinct line-hash incidences (8-byte rows) → keyed-repartition
-    block-sum + threshold (``_df_counts``) — the only wide exchange ships
-    ``(hash, count)`` int64 pairs, never strings; (2) the hot-hash set
-    (bounded by the >=``min_docs`` threshold, not the corpus) is broadcast
-    once via ``ray.put`` and each block drops matching lines and re-joins the
-    remainder with one vectorized ``ListArray``/``binary_join`` pass. No
-    driver funnel; at 100 TB the exchange is ~16 bytes per distinct
-    (doc, line) incidence.
-    """
-    hot_ref, empty = _hot_line_hashes(docs, text_col, min_docs, sep)
-
-    def clean(batch: pa.Table) -> pa.Table:
-        hs = ray.get(hot_ref) if hot_ref is not None else np.empty(0, np.uint64)
-        lists = pc.split_pattern(batch.column(text_col).combine_chunks(), sep)
-        offs = np.asarray(lists.offsets).astype(np.int64)
-        flat = lists.values
-        data, starts, lengths = column_spans(flat)
-        h = xxh64_vec(data, starts, lengths, 0)
-        drop = _in_sorted(hs, h)
-        keep = ~drop
-        n = batch.num_rows
-        per_doc_total = np.diff(offs)
-        ck = np.zeros(len(keep) + 1, dtype=np.int64)
-        np.cumsum(keep, out=ck[1:])
-        n_kept = ck[offs[1:]] - ck[offs[:-1]]
-        new_offs = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(n_kept, out=new_offs[1:])
-        kept_lines = flat.filter(pa.array(keep)) if not bool(keep.all()) else flat
-        lst = pa.ListArray.from_arrays(pa.array(new_offs, pa.int32()), kept_lines)
-        clean_text = pc.binary_join(lst, sep)
-        return pa.table(
-            {
-                id_col: batch.column(id_col),
-                "clean_text": clean_text,
-                "n_kept": pa.array(n_kept, pa.int64()),
-                "n_removed": pa.array(per_doc_total - n_kept, pa.int64()),
-            }
-        )
-
-    return docs.map_batches(clean, batch_format="pyarrow", zero_copy_batch=True)
-
-
-def _hot_line_hashes(docs, text_col: str, min_docs: int, sep: str):
-    """Sorted u64 hashes of lines appearing in >= ``min_docs`` distinct docs,
-    broadcast once (``ray.put``); ``(None, True)`` when nothing is hot."""
-
+    per-doc-distinct line-hash incidences (8-byte rows) → range-sort
+    block-sum + threshold (``_df_counts``) — this exchange ships ``(hash,
+    count)`` int64 pairs, never strings; (2) the drop pass, in two regimes
+    like ``dup_span_stats``: at <= ``hot_switch`` hot hashes the sorted hot
+    set broadcasts once via ``ray.put`` and each block drops matching lines
+    locally (no further exchange); past it, docs explode to ``(id, line_no,
+    h)`` int rows that inner-join the hot table (the distributed semi-join —
+    a CCNet-scale hot set never transits the driver), the dropped line
+    numbers co-locate per doc through ONE keyed exchange, and the drop lists
+    join back to the docs for the same vectorized rebuild. Outputs are
+    identical across regimes (tested)."""
     def partial(batch: pa.Table) -> pa.Table:
-        lists = pc.split_pattern(batch.column(text_col).combine_chunks(), sep)
+        lists, h = _split_line_hashes(batch, text_col, sep)
         offs = np.asarray(lists.offsets).astype(np.int64)
-        flat = lists.values
-        data, starts, lengths = column_spans(flat)
-        h = xxh64_vec(data, starts, lengths, 0)
         doc = np.repeat(np.arange(batch.num_rows, dtype=np.int64), np.diff(offs))
         hd, _ = _per_doc_distinct(h, doc)
         uh, c = np.unique(hd, return_counts=True)
         return pa.table({"h": uh.view(np.int64), "c": c.astype(np.int64)})
 
     inc = docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    counts = _df_counts(inc, out_col="n_docs", min_count=min_docs).to_pandas()
-    if len(counts) == 0 or "h" not in counts.columns:
-        return None, True
-    hot_sorted = np.sort(counts["h"].to_numpy().view(np.uint64))
-    return ray.put(hot_sorted), False
+    counts = _df_counts(inc, out_col="n_docs", min_count=min_docs).materialize()
+    n_hot = counts.count()
+
+    if n_hot <= hot_switch:
+        if n_hot == 0:
+            hot_ref = None
+        else:
+            parts = [
+                np.asarray(b.column("h")).view(np.uint64)
+                for b in counts.iter_batches(batch_format="pyarrow")
+                if b.num_rows
+            ]
+            hot_ref = ray.put(np.sort(np.concatenate(parts)))
+
+        def clean(batch: pa.Table) -> pa.Table:
+            hs = ray.get(hot_ref) if hot_ref is not None else np.empty(0, np.uint64)
+            lists, h = _split_line_hashes(batch, text_col, sep)
+            keep = ~_in_sorted(hs, h)
+            return _rebuild_from_keep(batch, lists, keep, id_col, sep)
+
+        return docs.map_batches(clean, batch_format="pyarrow", zero_copy_batch=True)
+
+    # join regime
+    from raysketch.pipeline.dedup import _num_partitions
+    from raysketch.pipeline.export import _keyed_parts
+
+    npart = _num_partitions()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        lists, h = _split_line_hashes(batch, text_col, sep)
+        offs = np.asarray(lists.offsets).astype(np.int64)
+        d = np.diff(offs)
+        ids = np.asarray(batch.column(id_col))
+        total = int(offs[-1]) if len(offs) else 0
+        line_no = np.arange(total, dtype=np.int64) - np.repeat(offs[:-1], d)
+        return pa.table(
+            {
+                id_col: np.repeat(ids, d),
+                "line_no": pa.array(line_no),
+                "h": pa.array(h.view(np.int64)),
+            }
+        )
+
+    lines = docs.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    )
+    drops = lines.join(
+        counts.select_columns(["h"]).repartition(npart), "inner", npart, on=("h",)
+    ).select_columns([id_col, "line_no"])
+
+    from raysketch.pipeline.dedup import _pack_u64_binary, _unpack_u64_binary
+
+    def to_packed(batch: pa.Table) -> pa.Table:
+        # Acero joins reject list-typed non-key fields, so the per-doc drop
+        # list travels as a packed u64 binary blob (the dedup.py convention)
+        m = batch.num_rows
+        if m == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "__drop_blob": pa.array([], pa.binary()),
+                }
+            )
+        ids = np.asarray(batch.column(id_col).combine_chunks())
+        ln = np.asarray(batch.column("line_no").combine_chunks())
+        order = np.lexsort((ln, ids))
+        ids_s, ln_s = ids[order], ln[order]
+        new = np.ones(m, dtype=bool)
+        new[1:] = ids_s[1:] != ids_s[:-1]
+        starts = np.nonzero(new)[0]
+        counts = np.diff(np.append(starts, m)).astype(np.int64)
+        blob = _pack_u64_binary(ln_s.astype(np.uint64), counts)
+        return pa.table({id_col: pa.array(ids_s[starts]), "__drop_blob": blob})
+
+    # whole-doc drop groups must co-locate (list emission — the keyed-
+    # repartition case, CLAUDE.md), then the bounded drop lists join back
+    drop_lists = _keyed_parts(drops, [id_col], npart).map_batches(
+        to_packed, batch_format="pyarrow", batch_size=None
+    )
+    joined = docs.select_columns([id_col, text_col]).join(
+        drop_lists.repartition(npart), "left_outer", npart, on=(id_col,)
+    )
+
+    def clean_join(batch: pa.Table) -> pa.Table:
+        lists, _h = _split_line_hashes(batch, text_col, sep)
+        offs = np.asarray(lists.offsets).astype(np.int64)
+        total = int(offs[-1]) if len(offs) else 0
+        keep = np.ones(total, dtype=bool)
+        dl = pc.fill_null(batch.column("__drop_blob").combine_chunks(), b"")
+        vals, voffs = _unpack_u64_binary(dl)
+        lens = np.diff(voffs)
+        if len(vals):
+            doc_of = np.repeat(np.arange(batch.num_rows, dtype=np.int64), lens)
+            keep[offs[doc_of] + vals.astype(np.int64)] = False
+        return _rebuild_from_keep(batch, lists, keep, id_col, sep)
+
+    return joined.map_batches(clean_join, batch_format="pyarrow", batch_size=None)

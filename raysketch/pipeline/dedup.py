@@ -106,7 +106,11 @@ def exact_dedup(
 
     pre = ds.map_batches(add_fp, batch_format="pyarrow", zero_copy_batch=True).map_batches(
         block_min, batch_format="pyarrow", zero_copy_batch=True
-    )
+    ).materialize()
+    if pre.count() == 0:
+        # ds.sort on an all-empty Dataset is undefined across Ray versions
+        # (the _emit_pairs guard); empty input dedups to itself
+        return ds
     # final min via the range-sort exchange (the r4 lesson: the keyed hash
     # repartition's aggregator machinery loses ~5x to ds.sort on singleton-
     # heavy keys). A fingerprint may straddle adjacent sorted blocks, so each
@@ -341,16 +345,22 @@ def _sorted_unique_segments(h: np.ndarray, offs: np.ndarray) -> tuple[np.ndarray
     return hu, su, np.bincount(su, minlength=nseg)
 
 
-def _pack_u64_binary(values: np.ndarray, counts: np.ndarray) -> pa.Array:
+def _pack_u64_binary(
+    values: np.ndarray, counts: np.ndarray, force_large: bool = False
+) -> pa.Array:
     """Pack segmented uint64 arrays into a pyarrow binary column (segment i gets
-    ``counts[i]`` 8-byte little-endian words) — zero per-row Python."""
+    ``counts[i]`` 8-byte little-endian words) — zero per-row Python. Payloads at
+    or past the 2 GiB int32-offset limit are emitted as ``large_binary`` with
+    int64 offsets (``_unpack_u64_binary`` reads both); ``force_large`` exists so
+    the fallback is unit-testable without a 2 GiB allocation."""
     total_bytes = int(counts.sum()) * 8
-    if total_bytes >= 2**31:
-        # int32 offsets would silently wrap and corrupt the column; blocks this
-        # big should be re-batched (or this column promoted to large_binary)
-        raise ValueError(
-            f"_pack_u64_binary: packed payload {total_bytes} B exceeds the 2 GiB "
-            "binary-offset limit for one block — reduce batch_size upstream"
+    if force_large or total_bytes >= 2**31:
+        byte_offs = np.zeros(len(counts) + 1, dtype=np.int64)
+        np.cumsum(counts * 8, out=byte_offs[1:])
+        return pa.Array.from_buffers(
+            pa.large_binary(),
+            len(counts),
+            [None, pa.py_buffer(byte_offs.tobytes()), pa.py_buffer(np.ascontiguousarray(values).tobytes())],
         )
     byte_offs = np.zeros(len(counts) + 1, dtype=np.int32)
     np.cumsum(counts * 8, out=byte_offs[1:])

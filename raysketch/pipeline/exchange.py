@@ -23,11 +23,28 @@ def sorted_keyed_reduce(ds, key_col: str, aggs: dict[str, str]):
     """Exact per-key reduction of int64 columns: ``aggs`` maps column name ->
     ``"sum" | "min" | "max"``. Returns a Dataset with columns
     ``[key_col, *aggs]`` (one row per distinct key), streaming except for the
-    bounded edge fixup."""
+    bounded edge fixup.
+
+    All participating columns (key included) must be int64 — the block pass
+    and the edge re-reduce both coerce through int64, so a uint64 key above
+    2^63 or a string key would corrupt silently. Validated up front."""
     import ray
 
     cols = [key_col, *aggs]
-    s = ds.select_columns(cols).sort(key_col)
+    s = ds.select_columns(cols).materialize()
+    if s.count() == 0:
+        # ds.sort on an all-empty Dataset is undefined across Ray versions
+        # (the _emit_pairs guard) — the typed empty selection IS the answer
+        return s
+    schema = s.schema()
+    for name, typ in zip(schema.names, schema.types):
+        if name in cols and typ != pa.int64():
+            raise TypeError(
+                f"sorted_keyed_reduce: column {name!r} is {typ}, but the "
+                "reduction is int64-only (view uint64 keys as int64 first; "
+                "use sorted_first_per_key for non-numeric payloads)"
+            )
+    s = s.sort(key_col)
 
     def block(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -63,4 +80,63 @@ def sorted_keyed_reduce(ds, key_col: str, aggs: dict[str, str]):
     fixed = ray.data.from_arrow(
         pa.table({c: pa.array(fix[c].to_numpy(), pa.int64()) for c in cols})
     )
+    return inner.union(fixed)
+
+
+def sorted_first_per_key(ds, key_col: str, payload_cols: list[str], _stats: dict | None = None):
+    """One representative row per distinct key, for payload columns that are
+    functionally dependent on the key (e.g. hash -> recovered n-gram string):
+    any occurrence is a correct representative, so the result is deterministic.
+
+    Same exchange discipline as :func:`sorted_keyed_reduce`: range sort by
+    ``key_col``, vectorized per-block first-occurrence dedup, and a
+    <= 2-rows-per-block ``__edge`` fixup so a key straddling adjacent sorted
+    blocks still yields exactly one row. Payload columns keep their Arrow
+    types (strings fine); only the key must be ``ds.sort``-able. Driver
+    traffic is the edge set only — O(#blocks), never O(keys x blocks) (the
+    r4 hot_ngrams recovery-merge fix). ``_stats``, when passed, receives
+    ``{"edge_rows": n}`` — the exact driver-received row count, asserted by
+    the stress test."""
+    import ray
+
+    cols = [key_col, *payload_cols]
+    s = ds.select_columns(cols).materialize()
+    if _stats is not None:
+        _stats["edge_rows"] = 0
+    if s.count() == 0:
+        # ds.sort on an all-empty Dataset is undefined across Ray versions
+        return s
+    s = s.sort(key_col)
+
+    def block(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return t.append_column("__edge", pa.array([], pa.bool_()))
+        k = np.asarray(t.column(key_col).combine_chunks())
+        first = np.ones(n, dtype=bool)
+        first[1:] = k[1:] != k[:-1]
+        sel = t.filter(pa.array(first)) if not bool(first.all()) else t
+        m = sel.num_rows
+        edge = np.zeros(m, dtype=bool)
+        edge[0] = True
+        edge[-1] = True
+        return sel.append_column("__edge", pa.array(edge))
+
+    parts = s.map_batches(block, batch_format="pyarrow", batch_size=None).materialize()
+    inner = parts.filter(expr="__edge == False").drop_columns(["__edge"])
+    edge_batches = [
+        b
+        for b in parts.filter(expr="__edge == True")
+        .drop_columns(["__edge"])
+        .iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    if _stats is not None:
+        _stats["edge_rows"] = sum(b.num_rows for b in edge_batches)
+    if not edge_batches:
+        return inner
+    et = pa.concat_tables(edge_batches)
+    k = np.asarray(et.column(key_col))
+    _, idx = np.unique(k, return_index=True)
+    fixed = ray.data.from_arrow(et.take(pa.array(np.sort(idx))))
     return inner.union(fixed)

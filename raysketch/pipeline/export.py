@@ -58,7 +58,23 @@ def pack_sequences(
     per-partition pass, simple_benchmark.cpp partition loop)."""
     import ray
 
-    s = docs.select_columns([id_col, token_col]).sort(id_col).materialize()
+    sel = docs.select_columns([id_col, token_col]).materialize()
+
+    def empty_pack(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "start_seq": pa.array(np.zeros(t.num_rows, np.int64)),
+                "end_seq": pa.array(np.zeros(t.num_rows, np.int64)),
+                "start_off": pa.array(np.zeros(t.num_rows, np.int64)),
+            }
+        )
+
+    if sel.count() == 0:
+        # ds.sort on an all-empty Dataset is undefined across Ray versions
+        # (the _emit_pairs guard) — skip the sort, emit the typed empty shape
+        return sel.map_batches(empty_pack, batch_format="pyarrow")
+    s = sel.sort(id_col).materialize()
 
     def block_sum(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -71,17 +87,7 @@ def pack_sequences(
 
     sums = s.map_batches(block_sum, batch_format="pyarrow", batch_size=None).to_pandas()
     if len(sums) == 0 or "m" not in sums.columns:
-        return s.map_batches(
-            lambda t: pa.table(
-                {
-                    id_col: t.column(id_col),
-                    "start_seq": pa.array(np.zeros(t.num_rows, np.int64)),
-                    "end_seq": pa.array(np.zeros(t.num_rows, np.int64)),
-                    "start_off": pa.array(np.zeros(t.num_rows, np.int64)),
-                }
-            ),
-            batch_format="pyarrow",
-        )
+        return s.map_batches(empty_pack, batch_format="pyarrow")
     sums = sums.sort_values("m", ignore_index=True)
     mins = sums["m"].to_numpy(dtype=np.int64)
     if len(mins) > 1 and (mins[1:] == mins[:-1]).any():

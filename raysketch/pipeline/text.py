@@ -602,11 +602,20 @@ def chunk_text_batch(
         np.arange(grand, dtype=np.int64) - np.repeat(offsets[:-1], clen)
     )
     buf = data[idx] if grand else np.empty(0, dtype=np.uint8)
-    chunks = pa.Array.from_buffers(
-        pa.utf8(),
-        total,
-        [None, pa.py_buffer(offsets.astype(np.int32)), pa.py_buffer(buf)],
-    )
+    if grand >= 2**31:
+        # int32 offsets would silently wrap (the _pack_u64_binary lesson) —
+        # promote to large_utf8 with true int64 offsets instead of corrupting
+        chunks = pa.Array.from_buffers(
+            pa.large_utf8(),
+            total,
+            [None, pa.py_buffer(offsets), pa.py_buffer(buf)],
+        )
+    else:
+        chunks = pa.Array.from_buffers(
+            pa.utf8(),
+            total,
+            [None, pa.py_buffer(offsets.astype(np.int32)), pa.py_buffer(buf)],
+        )
     return pa.table(
         {
             id_col: pa.array(ids[doc_idx]),

@@ -25,10 +25,16 @@ def test_exact_dedup_join_strategy_small_skewed(ray_session):
     assert 1 in out_join  # min doc_id of the "same text" group
 
 
-def test_pack_u64_binary_overflow_guard():
-    counts = np.array([2**28], dtype=np.int64)  # 2 GiB payload → int32 offsets wrap
-    with pytest.raises(ValueError, match="2 GiB"):
-        _pack_u64_binary(np.empty(0, dtype=np.uint64), counts)
+def test_pack_u64_binary_overflow_promotes_to_large():
+    """>= 2 GiB payloads promote to large_binary (int64 offsets) instead of
+    wrapping int32 offsets or raising (r5: VERDICT next-round #7). The size
+    branch itself is exercised via force_large in test_robustness_r5."""
+    vals = np.arange(5, dtype=np.uint64)
+    counts = np.array([2, 3], dtype=np.int64)
+    small = _pack_u64_binary(vals, counts)
+    assert small.type == pa.binary()
+    large = _pack_u64_binary(vals, counts, force_large=True)
+    assert large.type == pa.large_binary()
 
 
 def test_ngram_rotate_by_zero_guard():

@@ -1,0 +1,117 @@
+"""Round-5 robustness fixes (ADVICE r4 + VERDICT next-round items):
+large_binary pack fallback, sort-exchange dtype/empty guards, the distributed
+hot_ngrams string recovery, and the line_dedup hot-set join regime."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from raysketch.pipeline.dedup import _pack_u64_binary, _unpack_u64_binary
+
+
+def test_pack_u64_large_binary_roundtrip():
+    """force_large exercises the >= 2 GiB large_binary branch without a 2 GiB
+    allocation; _unpack_u64_binary reads int64 offsets identically."""
+    rng = np.random.default_rng(3)
+    counts = rng.integers(0, 6, size=40).astype(np.int64)
+    vals = rng.integers(0, 2**63, size=int(counts.sum())).astype(np.uint64)
+    packed = _pack_u64_binary(vals, counts, force_large=True)
+    assert packed.type == pa.large_binary()
+    v2, offs = _unpack_u64_binary(packed)
+    np.testing.assert_array_equal(v2, vals)
+    np.testing.assert_array_equal(np.diff(offs), counts)
+    # sliced large_binary reads still line up (offset-aware unpack)
+    v3, o3 = _unpack_u64_binary(packed.slice(7, 20))
+    start = int(counts[:7].sum())
+    np.testing.assert_array_equal(v3, vals[start : start + int(counts[7:27].sum())])
+
+
+def test_sorted_keyed_reduce_rejects_non_int64(ray_session):
+    import ray.data as rd
+
+    from raysketch.pipeline.exchange import sorted_keyed_reduce
+
+    ds = rd.from_arrow(
+        pa.table({"k": pa.array(["a", "b"]), "v": pa.array([1, 2], pa.int64())})
+    )
+    with pytest.raises(TypeError, match="int64-only"):
+        sorted_keyed_reduce(ds, "k", {"v": "sum"})
+
+
+def test_sorted_keyed_reduce_empty_input(ray_session):
+    import ray.data as rd
+
+    from raysketch.pipeline.exchange import sorted_keyed_reduce
+
+    ds = rd.from_arrow(
+        pa.table({"k": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+    )
+    out = sorted_keyed_reduce(ds, "k", {"v": "sum"})
+    assert out.count() == 0
+
+
+def test_exact_dedup_empty_input(ray_session):
+    import ray.data as rd
+
+    from raysketch.pipeline.dedup import exact_dedup
+
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())})
+    )
+    assert exact_dedup(ds).count() == 0
+
+
+class TestSortedFirstPerKey:
+    def test_matches_pandas_first(self, ray_session):
+        """Any-representative semantics on key-dependent payloads: every key's
+        payload is a function of the key, so the result must equal pandas
+        drop_duplicates regardless of which occurrence won."""
+        import ray.data as rd
+
+        from raysketch.pipeline.exchange import sorted_first_per_key
+
+        rng = np.random.default_rng(7)
+        k = rng.integers(0, 2_000, size=20_000).astype(np.int64)
+        df = pd.DataFrame({"k": k, "s": [f"str-{v}" for v in k], "v": k * 3})
+        ds = rd.from_pandas(df).repartition(8)
+        got = (
+            sorted_first_per_key(ds, "k", ["s", "v"])
+            .to_pandas()
+            .sort_values("k", ignore_index=True)
+        )
+        want = (
+            df.drop_duplicates("k").sort_values("k", ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_driver_traffic_is_edge_bounded(self, ray_session):
+        """The stress shape of VERDICT r4 'What's wrong #1': every key present
+        in EVERY block. Driver-received rows (the edge fixup) must be bounded
+        by blocks, never keys x blocks."""
+        import ray.data as rd
+
+        from raysketch.pipeline.exchange import sorted_first_per_key
+
+        nkeys, nblocks, reps = 500, 40, 40  # every key occurs in ~every block
+        k = np.tile(np.arange(nkeys, dtype=np.int64), reps)
+        df = pd.DataFrame({"k": k, "s": [f"p{v}" for v in k]})
+        ds = rd.from_pandas(df.sample(frac=1.0, random_state=0)).repartition(nblocks)
+        stats: dict = {}
+        got = sorted_first_per_key(ds, "k", ["s"], _stats=stats).to_pandas()
+        assert len(got) == nkeys
+        assert sorted(got["k"]) == list(range(nkeys))
+        assert (got["s"] == "p" + got["k"].astype(str)).all()
+        # old behavior shipped O(keys x blocks) = 20_000 rows to the driver;
+        # the sort-exchange ships <= 2 per sorted block
+        assert stats["edge_rows"] <= 2 * (nblocks + 4)
+
+    def test_empty_input(self, ray_session):
+        import ray.data as rd
+
+        from raysketch.pipeline.exchange import sorted_first_per_key
+
+        ds = rd.from_arrow(
+            pa.table({"k": pa.array([], pa.int64()), "s": pa.array([], pa.string())})
+        )
+        assert sorted_first_per_key(ds, "k", ["s"]).count() == 0
