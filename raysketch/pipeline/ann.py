@@ -317,10 +317,13 @@ def ann_ivf_topk(
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     concurrency: int | tuple = (1, 8),
+    centroids: np.ndarray | None = None,
 ) -> pa.Table:
     """IVF-bucketed ANN: scan only the ``nprobe`` nearest inverted lists per query.
-    Same output schema as ``ann_cosine_topk`` (recall < 1 by design)."""
-    C = train_centroids(ds, emb_col, nlist)
+    Same output schema as ``ann_cosine_topk`` (recall < 1 by design).
+    ``centroids`` overrides the sample-trained codebook (shared-codebook
+    comparisons, e.g. the ann_ivf_ds equivalence test)."""
+    C = train_centroids(ds, emb_col, nlist) if centroids is None else centroids
     cref = ray.put(C)
     assigned = ds.select_columns([id_col, emb_col]).map_batches(
         _IVFAssign,
@@ -473,3 +476,147 @@ def ann_lsh_topk(
         zero_copy_batch=True,
     )
     return _merge_topk(partials.take_all(), k, id_col)
+
+
+def ann_ivf_ds(
+    ds,
+    queries_ds,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    concurrency: int | tuple = (1, 8),
+    centroids: np.ndarray | None = None,
+    merge: str = "auto",
+) -> pa.Table:
+    """IVF ANN where the QUERIES are a Dataset too — the q >> 10^4 regime where
+    ``ann_topk_ds``'s repeated brute-force passes stop paying (VERDICT r4
+    next-round #8).
+
+    Scale shape: vectors assign to their nearest-centroid list; each query
+    fans out to one row per probed list (q x nprobe rows, ids + packed-f32
+    embedding only). Both sides UNION with a side tag and ONE keyed
+    HASH_SHUFFLE on ``ivf_list`` co-locates whole lists — a per-block
+    vectorized pass then scores each list's queries against exactly that
+    list's vectors (one matmul per list; never a materialized query x vector
+    join) and emits local top-k rows. The existing per-query top-k merge
+    (driver heap or distributed tree by size) finishes. Per-task work is
+    list-local: sum over lists of |list| x |queries probing it|.
+
+    Semantics match single-query IVF (``ann_ivf_topk``): a query scores ONLY
+    vectors in its own probed lists. Exact-equality with ann_ivf_topk under a
+    shared codebook is tested; embeddings travel as packed float32 (lossless
+    for float32 sources), scores compute in float64.
+    """
+    from ray.data.context import ShuffleStrategy
+
+    C = train_centroids(ds, emb_col, nlist) if centroids is None else centroids
+    cref = ray.put(np.asarray(C, dtype=np.float32))
+    dim = int(np.asarray(C).shape[1])
+
+    def pack_vecs(batch: pa.Table) -> pa.Table:
+        V32 = embedding_matrix(batch.column(emb_col)).astype(np.float32)
+        Cl = ray.get(cref)
+        lst = np.argmax(_normalize(V32) @ Cl.T, axis=1).astype(np.int32)
+        blob = pa.Array.from_buffers(
+            pa.binary(4 * dim),
+            len(V32),
+            [None, pa.py_buffer(np.ascontiguousarray(V32).tobytes())],
+        )
+        return pa.table(
+            {
+                "ivf_list": pa.array(lst),
+                "__id": pa.array(np.asarray(batch.column(id_col)).astype(np.int64)),
+                "__side": pa.array(np.zeros(len(V32), np.int8)),
+                "__emb": blob,
+            }
+        )
+
+    def pack_queries(batch: pa.Table) -> pa.Table:
+        Q32 = embedding_matrix(batch.column(emb_col)).astype(np.float32)
+        Cl = ray.get(cref)
+        probe = np.argsort(-(_normalize(Q32) @ Cl.T), axis=1)[:, :nprobe]  # (q, nprobe)
+        q = len(Q32)
+        rep = np.repeat(np.arange(q, dtype=np.int64), nprobe)
+        blob = pa.Array.from_buffers(
+            pa.binary(4 * dim),
+            q,
+            [None, pa.py_buffer(np.ascontiguousarray(Q32).tobytes())],
+        )
+        return pa.table(
+            {
+                "ivf_list": pa.array(probe.ravel().astype(np.int32)),
+                "__id": pa.array(np.asarray(batch.column(query_id_col)).astype(np.int64)[rep]),
+                "__side": pa.array(np.ones(q * nprobe, np.int8)),
+                "__emb": blob.take(pa.array(rep)),
+            }
+        )
+
+    vec_rows = ds.select_columns([id_col, emb_col]).map_batches(
+        pack_vecs, batch_format="pyarrow", zero_copy_batch=True
+    )
+    qry_rows = queries_ds.select_columns([query_id_col, emb_col]).map_batches(
+        pack_queries, batch_format="pyarrow", zero_copy_batch=True
+    )
+    both = vec_rows.union(qry_rows)
+    both.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    nparts = max(4, min(32, ncpu, nlist))
+    both.context.default_hash_shuffle_parallelism = nparts
+    routed = both.repartition(num_blocks=nparts, keys=["ivf_list"])
+
+    def _unpack_f32(col: pa.Array, n: int) -> np.ndarray:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        buf = col.buffers()[1]
+        off = col.offset * 4 * dim
+        return np.frombuffer(buf, dtype=np.float32, count=n * dim, offset=off).reshape(n, dim)
+
+    def list_topk(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+        n = batch.num_rows
+        if n == 0:
+            return empty
+        lst = np.asarray(batch.column("ivf_list").combine_chunks())
+        side = np.asarray(batch.column("__side").combine_chunks())
+        ids = np.asarray(batch.column("__id").combine_chunks())
+        M = _unpack_f32(batch.column("__emb"), n).astype(np.float64)
+        out = []
+        # one vectorized matmul per list present in the block; nlist is small
+        # by construction so this loop is bounded, not per-row
+        for s in np.unique(lst):
+            seg = lst == s
+            vm = seg & (side == 0)
+            qm = seg & (side == 1)
+            nv, nq = int(vm.sum()), int(qm.sum())
+            if nv == 0 or nq == 0:
+                continue
+            V = _normalize(M[vm])
+            Q = _normalize(M[qm])
+            vid, qid = ids[vm], ids[qm]
+            scores = V @ Q.T  # (nv, nq)
+            kk = min(k, nv)
+            top = np.argpartition(-scores, kth=kk - 1, axis=0)[:kk]
+            q_idx = np.repeat(np.arange(nq), kk)
+            v_idx = top.T.ravel()
+            out.append(
+                pa.table(
+                    {
+                        "query_id": pa.array(qid[q_idx]),
+                        id_col: pa.array(vid[v_idx]),
+                        "score": pa.array(scores[v_idx, q_idx]),
+                    }
+                )
+            )
+        return pa.concat_tables(out) if out else empty
+
+    partials = routed.map_batches(list_topk, batch_format="pyarrow", batch_size=None)
+    return _merge_topk_auto(partials, k, id_col, merge)

@@ -19,6 +19,21 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+# Fibonacci-hash scramble for rank_by="hash": multiplication by an odd
+# constant is a BIJECTION on Z/2^64 (distinct ids -> distinct ranks, no
+# tie-break needed), decorrelates rank from id order, and is SQL-stateable:
+# DuckDB `(id::HUGEINT * 11400714819323198485) % 18446744073709551616`.
+_RANK_PHI = np.uint64(0x9E3779B97F4A7C15)  # 11400714819323198485
+
+
+def _rank_keys(ids: np.ndarray, rank_by: str) -> np.ndarray:
+    if rank_by == "id":
+        return ids
+    if rank_by == "hash":
+        with np.errstate(over="ignore"):
+            return ids.astype(np.uint64) * _RANK_PHI
+    raise ValueError(f"rank_by must be 'id' or 'hash' (got {rank_by!r})")
+
 
 def _keyed_parts(ds, keys: list[str], npart: int):
     """HASH_SHUFFLE keyed repartition with the repo's exchange sizing: every
@@ -138,6 +153,7 @@ def stratified_sample(
     id_col: str = "doc_id",
     n_target: int = 1000,
     quotas: dict | None = None,
+    rank_by: str = "id",
 ):
     """Deterministic stratified sample with proportional allocation: each key
     group gets quota ``q_g = max(1, (n_target * c_g) // total)`` (integer
@@ -157,6 +173,12 @@ def stratified_sample(
     ``quotas``: explicit per-key targets (``{key: n}``) override the
     proportional allocation — the domain-mixing use (see ``mix_corpora``);
     keys absent from the dict contribute nothing.
+
+    ``rank_by``: ``"id"`` (default — the original oracle-checked ordering,
+    biased toward early documents) or ``"hash"`` — rank on the Fibonacci
+    scramble ``(id * 0x9E3779B97F4A7C15) mod 2^64``, an id-decorrelated,
+    statistically defensible mixture that stays deterministic and
+    SQL-stateable (the bijection needs no tie-break).
     """
     import ray
 
@@ -168,7 +190,7 @@ def stratified_sample(
         qmap_ref = ray.put(
             (np.array(skeys), np.array([int(quotas[k]) for k in skeys], dtype=np.int64))
         )
-        return _rank_select(narrow, key_col, id_col, qmap_ref)
+        return _rank_select(narrow, key_col, id_col, qmap_ref, rank_by)
     cnt = narrow.groupby(key_col).count().to_pandas()
     if len(cnt) == 0 or key_col not in cnt.columns:
         return narrow.limit(0)
@@ -180,14 +202,14 @@ def stratified_sample(
     qarr = np.minimum(qarr, counts)
     order = np.argsort(keys)
     qmap_ref = ray.put((keys[order], qarr[order]))
-    return _rank_select(narrow, key_col, id_col, qmap_ref)
+    return _rank_select(narrow, key_col, id_col, qmap_ref, rank_by)
 
 
-def _rank_select(narrow, key_col: str, id_col: str, qmap_ref):
+def _rank_select(narrow, key_col: str, id_col: str, qmap_ref, rank_by: str = "id"):
     """Two-level per-key smallest-``q`` selection: map-side top-q combiner →
     keyed exchange of candidates only → exact per-block finish. ``qmap_ref``
     broadcasts a ``(sorted_keys, quotas)`` pair; keys absent from it get
-    quota 0 (their rows are dropped)."""
+    quota 0 (their rows are dropped). Ranking is by ``_rank_keys`` order."""
     import ray
 
     from raysketch.pipeline.dedup import _num_partitions
@@ -199,7 +221,7 @@ def _rank_select(narrow, key_col: str, id_col: str, qmap_ref):
         qkeys, qvals = ray.get(qmap_ref)
         k = np.asarray(batch.column(key_col).combine_chunks())
         ids = np.asarray(batch.column(id_col))
-        perm = np.lexsort((ids, k))
+        perm = np.lexsort((_rank_keys(ids, rank_by), k))
         ks = k[perm]
         new = np.ones(m, dtype=bool)
         new[1:] = ks[1:] != ks[:-1]
@@ -217,9 +239,12 @@ def _rank_select(narrow, key_col: str, id_col: str, qmap_ref):
     return parts.map_batches(rank_filter, batch_format="pyarrow", batch_size=None)
 
 
-def mix_corpora(sources: dict, weights: dict, n_target: int, id_col: str = "doc_id"):
+def mix_corpora(
+    sources: dict, weights: dict, n_target: int, id_col: str = "doc_id", rank_by: str = "id"
+):
     """Deterministic domain mixing: draw ``round(n_target * w_s / sum(w))``
-    docs (the quota smallest ``id_col`` values) from each source Dataset and
+    docs (the quota smallest ``id_col`` values — or, with ``rank_by="hash"``,
+    an id-decorrelated deterministic pick) from each source Dataset and
     union them with a ``source`` label column — the training-mixture
     composition step (e.g. 60% web / 30% code / 10% books). Integer
     allocation by largest-remainder so the quotas sum exactly to
@@ -255,6 +280,7 @@ def mix_corpora(sources: dict, weights: dict, n_target: int, id_col: str = "doc_
             key_col="source",
             id_col=id_col,
             quotas={name: int(q)},
+            rank_by=rank_by,
         )
         picked.append(sel)
     if not picked:

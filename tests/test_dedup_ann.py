@@ -593,3 +593,61 @@ def test_frame_sampling(ray_session):
     assert (a["frame"] == b["frame"]).all()
     with pytest.raises(NotImplementedError):
         FrameSampleStage(decode="strict")(tbl.slice(0, 2))
+
+
+def test_ann_ivf_ds_matches_single_query_ivf(ray_session):
+    """ann_ivf_ds (query-Dataset, list-co-routed) must equal ann_ivf_topk
+    (broadcast queries) row-for-row under a SHARED codebook: identical probed
+    lists -> identical candidate sets -> identical float64 scores on float32
+    sources (VERDICT r4 next-round #8)."""
+    import ray.data as rd
+
+    from raysketch.pipeline.ann import ann_ivf_ds, train_centroids
+
+    tbl = _emb_table(400, 16, seed=5)
+    ds = rd.from_arrow(tbl).repartition(4)
+    rng = np.random.default_rng(9)
+    Q = rng.normal(size=(12, 16)).astype(np.float32)
+    C = train_centroids(ds, "embedding", nlist=8)
+    want = ann_ivf_topk(ds, Q, k=5, nlist=8, nprobe=4, centroids=C).to_pandas()
+    qds = rd.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array(np.arange(12, dtype=np.int64)),
+                "embedding": pa.array(list(Q)),
+            }
+        )
+    ).repartition(3)
+    got = ann_ivf_ds(ds, qds, k=5, nlist=8, nprobe=4, centroids=C).to_pandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values(["query_id", "vec_id"], ignore_index=True),
+        want.sort_values(["query_id", "vec_id"], ignore_index=True),
+    )
+
+
+def test_ann_ivf_ds_distributed_merge_identical(ray_session):
+    """The distributed tree merge must produce the same rows as the driver
+    heap merge on the co-routed partials."""
+    import ray.data as rd
+
+    from raysketch.pipeline.ann import ann_ivf_ds, train_centroids
+
+    tbl = _emb_table(300, 8, seed=12)
+    ds = rd.from_arrow(tbl).repartition(5)
+    rng = np.random.default_rng(4)
+    Q = rng.normal(size=(6, 8)).astype(np.float32)
+    qds = rd.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array(np.arange(6, dtype=np.int64)),
+                "embedding": pa.array(list(Q)),
+            }
+        )
+    )
+    C = train_centroids(ds, "embedding", nlist=4)
+    a = ann_ivf_ds(ds, qds, k=3, nlist=4, nprobe=2, centroids=C, merge="driver").to_pandas()
+    b = ann_ivf_ds(ds, qds, k=3, nlist=4, nprobe=2, centroids=C, merge="distributed").to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values(["query_id", "vec_id"], ignore_index=True),
+        b.sort_values(["query_id", "vec_id"], ignore_index=True),
+    )

@@ -338,3 +338,71 @@ class TestLineDedupJoinRegime:
         out = line_dedup(_ds(df, blocks=2), min_docs=5, hot_switch=0).to_pandas()
         assert (out["n_removed"] == 0).all()
         assert set(out["clean_text"]) == set(texts)
+
+
+class TestRankByHash:
+    def test_unbiased_and_deterministic(self, ray_session):
+        """rank_by='hash' picks an id-decorrelated sample (selected-id mean ~
+        population mean), unlike the early-id-biased rank_by='id' default;
+        two runs are bitwise-identical (the scramble is deterministic)."""
+        from raysketch.pipeline.export import stratified_sample
+
+        n = 20_000
+        df = pd.DataFrame(
+            {"doc_id": np.arange(n), "lang": np.where(np.arange(n) % 2 == 0, "en", "fr")}
+        )
+        got = (
+            stratified_sample(_ds(df, blocks=6), n_target=2000, rank_by="hash")
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        got2 = (
+            stratified_sample(_ds(df, blocks=6), n_target=2000, rank_by="hash")
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(got, got2)
+        assert len(got) == 2000
+        # population mean is ~(n-1)/2; the id-ranked pick would average ~500
+        assert abs(got["doc_id"].mean() - (n - 1) / 2) < 0.06 * n
+        gid = stratified_sample(_ds(df, blocks=6), n_target=2000, rank_by="id").to_pandas()
+        assert gid["doc_id"].mean() < 0.08 * n
+
+    def test_matches_duckdb_rank_expression(self, ray_session):
+        """The scramble is SQL-stateable: DuckDB's HUGEINT expression selects
+        the identical rows (explicit quotas; bijection needs no tie-break)."""
+        import duckdb
+
+        from raysketch.pipeline.export import stratified_sample
+
+        rng = np.random.default_rng(21)
+        n = 3_000
+        df = pd.DataFrame(
+            {"doc_id": rng.permutation(n), "lang": rng.choice(["en", "fr", "de"], size=n)}
+        )
+        got = (
+            stratified_sample(
+                _ds(df, blocks=5), quotas={"en": 40, "fr": 25}, rank_by="hash"
+            )
+            .to_pandas()
+            .sort_values(["lang", "doc_id"], ignore_index=True)
+        )
+        con = duckdb.connect()
+        con.register("t", df)
+        want = con.sql(
+            """
+            SELECT doc_id, lang FROM t
+            QUALIFY row_number() OVER (
+              PARTITION BY lang
+              ORDER BY (doc_id::HUGEINT * 11400714819323198485) % 18446744073709551616
+            ) <= CASE lang WHEN 'en' THEN 40 WHEN 'fr' THEN 25 ELSE 0 END
+            ORDER BY lang, doc_id
+            """
+        ).df()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_invalid_rank_by(self, ray_session):
+        from raysketch.pipeline.export import _rank_keys
+
+        with pytest.raises(ValueError, match="rank_by"):
+            _rank_keys(np.arange(3), "random")
