@@ -65,6 +65,37 @@ def checkpointed_partitioned_bloom(
     Only rows routed to UNFINISHED shards cross the shuffle on resume — finished
     shards are filtered out right after the hash stage, before any row moves.
     """
+    _ensure_bloom_checkpoint(
+        ds,
+        column,
+        capacity,
+        ckpt_dir,
+        fp_rate=fp_rate,
+        num_shards=num_shards,
+        hash_algo=hash_algo,
+        seeds=seeds,
+        algo=algo,
+        input_files=input_files,
+    )
+    return load_partitioned_bloom(ckpt_dir)
+
+
+def _ensure_bloom_checkpoint(
+    ds,
+    column: str,
+    capacity: int,
+    ckpt_dir: str,
+    fp_rate: float = 0.01,
+    num_shards: int = 64,
+    hash_algo: str = "xxh64",
+    seeds: tuple[int, int] = CLASSIC_SEEDS,
+    algo: str = "classic",
+    input_files: list[str] | None = None,
+) -> None:
+    """Build (or resume) the per-shard checkpoint files WITHOUT any driver
+    assembly — the shared core of :func:`checkpointed_partitioned_bloom`
+    (driver-held load), :func:`load_sharded_bloom` (refs handle), and
+    :func:`epoch_dedup`'s first epoch (which needs only the files)."""
     if algo not in ("classic",):
         # fail before any shard checkpoint is written (PartitionedBloom would
         # reject the algo only at final load — after the whole distributed build)
@@ -145,7 +176,45 @@ def checkpointed_partitioned_bloom(
             )
             _atomic_write_table(row, _shard_path(ckpt_dir, sid))
 
-    return load_partitioned_bloom(ckpt_dir)
+
+def load_sharded_bloom(ckpt_dir: str, num_blocks: int | None = None):
+    """Assemble a :class:`partitioned.ShardedBloom` handle + lineage from a
+    COMPLETE checkpoint directory WITHOUT the blobs ever transiting the
+    driver: shard files are read into object-store blocks by Ray tasks and
+    the routing/lineage recovery reuses the refs-build remote projection.
+    The restart story for the 10^12-key filter (VERDICT r4 next-round #4)."""
+    import ray
+
+    from raysketch.pipeline.partitioned import ShardedBloom, _refs_from_blocks
+
+    with open(os.path.join(ckpt_dir, "manifest.json")) as f:
+        params = json.load(f)
+    num_shards = int(params["num_shards"])
+    done = finished_shards(ckpt_dir)
+    if done != set(range(num_shards)):
+        raise ValueError(
+            f"checkpoint incomplete: {len(done)}/{num_shards} shards at {ckpt_dir}"
+        )
+    files = [_shard_path(ckpt_dir, sid) for sid in range(num_shards)]
+    if num_blocks is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        num_blocks = max(8, min(num_shards, 64, ncpu * 2))
+    blocks = ray.data.read_parquet(
+        files, override_num_blocks=min(num_blocks, num_shards)
+    ).materialize()
+    block_refs, shard_block, lineage = _refs_from_blocks(blocks, num_shards)
+    sb = ShardedBloom(
+        params["capacity"],
+        params["fp_rate"],
+        num_shards,
+        params["algo"],
+        params["hash_algo"],
+        tuple(params["seeds"]),
+        blocks,
+        block_refs,
+        shard_block,
+    )
+    return sb, lineage
 
 
 def load_partitioned_bloom(ckpt_dir: str) -> tuple[PartitionedBloom, pa.Table]:
@@ -357,11 +426,13 @@ def epoch_dedup(
     if not os.path.exists(manifest_path):
         if capacity is None:
             raise ValueError("first epoch: capacity (total-corpus scale) is required")
-        checkpointed_partitioned_bloom(
+        # files only — epoch probes/extends read them task-side, so the filter
+        # never assembles on the driver at any epoch (the refs-path unification)
+        _ensure_bloom_checkpoint(
             new_docs,
             column,
-            capacity=capacity,
-            ckpt_dir=ckpt_dir,
+            capacity,
+            ckpt_dir,
             fp_rate=fp_rate,
             num_shards=num_shards,
         )

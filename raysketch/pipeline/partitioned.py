@@ -359,45 +359,12 @@ class ShardedBloom:
         return pb
 
 
-def build_partitioned_bloom_refs(
-    ds,
-    column: str,
-    capacity: int,
-    fp_rate: float = 0.01,
-    num_shards: int = 64,
-    hash_algo: str = "xxh64",
-    seeds: tuple[int, int] = CLASSIC_SEEDS,
-    algo: str = "classic",
-    num_blocks: int | None = None,
-) -> tuple[ShardedBloom, pa.Table]:
-    """``build_partitioned_bloom(mode="shuffle")`` without the driver assembly:
-    the per-shard build blocks stay in the object store; the driver receives a
-    :class:`ShardedBloom` handle (refs + routing) and the lineage table.
-
-    The shard→block routing and the lineage are recovered by tiny remote tasks
-    that project ``state`` away block-side — blob bytes never cross to the
-    driver. Per-probe-task memory downstream is O(total bits × shards-touched /
-    num_shards); raise ``num_blocks`` toward ``num_shards`` to tighten the
-    bound at very large ``m``.
-    """
+def _refs_from_blocks(blocks, num_shards: int):
+    """Recover ``(block_refs, shard→block routing, lineage)`` from a
+    materialized per-shard build Dataset. Tiny remote tasks project ``state``
+    away block-side — blob bytes never cross to the driver."""
     import ray
 
-    if algo not in ("classic",):
-        raise ValueError(f"build_partitioned_bloom_refs supports algo='classic' (got {algo!r})")
-    per_shard_capacity = max(1, math.ceil(capacity / num_shards))
-
-    hashed = ds.map_batches(
-        lambda b: add_hash_columns(b, column, num_shards, hash_algo, seeds),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    blocks = _shuffle_build_rows(
-        hashed,
-        num_shards,
-        lambda: BloomSketch(per_shard_capacity, fp_rate, algo=algo, hash_algo=hash_algo, seeds=seeds),
-        num_blocks=num_blocks,
-        as_dataset=True,
-    )
     block_refs = [r for bundle in blocks.iter_internal_ref_bundles() for r in bundle.block_refs]
 
     @ray.remote(num_cpus=0)
@@ -435,6 +402,73 @@ def build_partitioned_bloom_refs(
             }
         )
     )
+    return block_refs, shard_block, lineage
+
+
+def build_partitioned_bloom_refs(
+    ds,
+    column: str,
+    capacity: int,
+    fp_rate: float = 0.01,
+    num_shards: int = 64,
+    hash_algo: str = "xxh64",
+    seeds: tuple[int, int] = CLASSIC_SEEDS,
+    algo: str = "classic",
+    num_blocks: int | None = None,
+    ckpt_dir: str | None = None,
+) -> tuple[ShardedBloom, pa.Table]:
+    """``build_partitioned_bloom(mode="shuffle")`` without the driver assembly:
+    the per-shard build blocks stay in the object store; the driver receives a
+    :class:`ShardedBloom` handle (refs + routing) and the lineage table.
+
+    The shard→block routing and the lineage are recovered by tiny remote tasks
+    that project ``state`` away block-side — blob bytes never cross to the
+    driver. Per-probe-task memory downstream is O(total bits × shards-touched /
+    num_shards); raise ``num_blocks`` toward ``num_shards`` to tighten the
+    bound at very large ``m``.
+
+    ``ckpt_dir`` unifies this with checkpoint/resume (r5): the shard tasks
+    write atomic per-shard Parquet checkpoints (``checkpoint.py`` layout —
+    ``probe_partitioned_ckpt`` / ``extend_checkpointed_bloom`` interoperate),
+    a re-run rebuilds only missing shards, and the returned handle is loaded
+    back from the checkpoint via :func:`checkpoint.load_sharded_bloom` — so a
+    10^12-key filter survives driver restarts without ever transiting one.
+    """
+    if algo not in ("classic",):
+        raise ValueError(f"build_partitioned_bloom_refs supports algo='classic' (got {algo!r})")
+    if ckpt_dir is not None:
+        from raysketch.pipeline.checkpoint import (
+            _ensure_bloom_checkpoint,
+            load_sharded_bloom,
+        )
+
+        _ensure_bloom_checkpoint(
+            ds,
+            column,
+            capacity,
+            ckpt_dir,
+            fp_rate=fp_rate,
+            num_shards=num_shards,
+            hash_algo=hash_algo,
+            seeds=seeds,
+            algo=algo,
+        )
+        return load_sharded_bloom(ckpt_dir, num_blocks=num_blocks)
+    per_shard_capacity = max(1, math.ceil(capacity / num_shards))
+
+    hashed = ds.map_batches(
+        lambda b: add_hash_columns(b, column, num_shards, hash_algo, seeds),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    blocks = _shuffle_build_rows(
+        hashed,
+        num_shards,
+        lambda: BloomSketch(per_shard_capacity, fp_rate, algo=algo, hash_algo=hash_algo, seeds=seeds),
+        num_blocks=num_blocks,
+        as_dataset=True,
+    )
+    block_refs, shard_block, lineage = _refs_from_blocks(blocks, num_shards)
     sb = ShardedBloom(
         capacity, fp_rate, num_shards, algo, hash_algo, seeds, blocks, block_refs, shard_block
     )

@@ -161,3 +161,59 @@ def test_probe_blob_bitwise_equals_from_bytes():
     assert np.array_equal(got, want)
     # inserted hashes all hit through the packed path
     assert BloomSketch.probe_blob(blob, h1[:1500], h2[:1500]).all()
+
+
+def test_refs_build_with_checkpoint_resume_identity(corpus_dir, tmp_path):
+    """r5 unification (VERDICT r4 next-round #4): the refs build writes
+    atomic per-shard checkpoints task-side; a killed run resumes (only
+    missing shards rebuild) and the reloaded handle is BITWISE equal to the
+    in-memory refs build and the driver-held build — while the driver still
+    never holds a blob."""
+    import os
+
+    import ray
+
+    ds = _read(corpus_dir, columns=["url"])
+    ckpt = str(tmp_path / "refs_ckpt")
+    sb1, lin1 = build_partitioned_bloom_refs(
+        ds, "url", capacity=N_ROWS, num_shards=16, ckpt_dir=ckpt
+    )
+    pb, _ = build_partitioned_bloom(ds, "url", capacity=N_ROWS, num_shards=16, mode="shuffle")
+    assert sb1.to_partitioned().to_bytes() == pb.to_bytes()
+    # simulate a mid-build crash: delete some shard files, resume
+    for sid in (1, 5, 9):
+        os.remove(os.path.join(ckpt, f"shard-{sid:05d}.parquet"))
+    sb2, lin2 = build_partitioned_bloom_refs(
+        ds, "url", capacity=N_ROWS, num_shards=16, ckpt_dir=ckpt
+    )
+    assert sb2.to_partitioned().to_bytes() == pb.to_bytes()
+    # handle is refs + routing only; no blob bytes on the driver
+    assert all(isinstance(r, ray.ObjectRef) for r in sb2.block_refs)
+    assert not any(isinstance(v, (bytes, bytearray)) for v in vars(sb2).values())
+    total_state = sum(lin2.column("state_bytes").to_pylist())
+    assert sb2.driver_bytes() * 10 < total_state
+    # the checkpoint interoperates with the file-routed probe
+    from raysketch.pipeline.checkpoint import load_sharded_bloom
+
+    sb3, _ = load_sharded_bloom(ckpt)
+    assert sb3.to_partitioned().to_bytes() == pb.to_bytes()
+
+
+def test_refs_checkpoint_interops_with_epoch_extend(corpus_dir, tmp_path):
+    """A refs-built checkpoint is a first-class epoch checkpoint: extend folds
+    a second epoch in task-side and the shard-file probe sees both epochs."""
+    import ray.data as rd
+
+    from raysketch.pipeline.checkpoint import extend_checkpointed_bloom
+    from raysketch.pipeline.probe import probe_partitioned_ckpt
+
+    ds = _read(corpus_dir, columns=["url"])
+    ckpt = str(tmp_path / "epoch_ckpt")
+    build_partitioned_bloom_refs(ds, "url", capacity=3 * N_ROWS, num_shards=8, ckpt_dir=ckpt)
+    extra = rd.from_arrow(pa.table({"url": [f"https://late.example/{i}" for i in range(50)]}))
+    extend_checkpointed_bloom(extra, ckpt)
+    probes = rd.from_arrow(
+        pa.table({"url": [f"https://late.example/{i}" for i in range(50)]})
+    )
+    out = probe_partitioned_ckpt(probes, ckpt, "url", keep=("url",)).take_all()
+    assert all(r["member"] for r in out)  # fn = 0 across the extend
