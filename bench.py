@@ -17,6 +17,8 @@ Headline pipelines over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) with
 - ``hot_ngrams``       two-pass boilerplate scan (planted-hot corpus)
 - ``line_dedup``       duplicated-line removal + text rebuild (same corpus)
 - ``pack_sequences``   concat-and-cut packing index over the events table
+- ``stratified_sample`` hash-rank stratified sampling over the 200k-doc corpus (r5)
+- ``ann_ivf_ds``       query-Dataset IVF ANN, list-co-routed (r5)
 
 ``--scaling``: run the identical MinHash sketch-build job in fresh processes at
 num_cpus=2 and num_cpus=8 (N and 4N, both below the sandbox host's sustained-core
@@ -304,6 +306,46 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                 budget=2048,
             )
             extras["pack_sequences_rows"] = int(packed.count())
+
+        # 9. (r5) stratified hash-rank sampling over the 200k-doc corpus —
+        # per-key top-q combiner + candidates-only keyed exchange at corpus
+        # scale; the Fibonacci-scramble rank decorrelates the pick from id order
+        with timed("stratified_sample"):
+            from raysketch.hashing import hash_column
+            from raysketch.pipeline.export import stratified_sample
+
+            def add_id(t):
+                h = hash_column(t.column("url").combine_chunks(), algo="xxh64", seed=0)
+                return pa.table(
+                    {
+                        "doc_id": pa.array(h.view(np.int64)),
+                        "lang": t.column("lang"),
+                    }
+                )
+
+            docs_lang = rd.read_parquet(web_dir, columns=["url", "lang"]).map_batches(
+                add_id, batch_format="pyarrow", zero_copy_batch=True
+            )
+            sel = stratified_sample(
+                docs_lang, key_col="lang", n_target=20_000, rank_by="hash"
+            )
+            extras["stratified_sample_rows"] = int(sel.count())
+
+        # 10. (r5) query-Dataset IVF ANN — vectors and query fan-out rows
+        # co-routed by list id through one keyed shuffle, per-task work
+        # list-local (the q >> broadcast regime)
+        with timed("ann_ivf_ds"):
+            from raysketch.pipeline.ann import ann_ivf_ds
+
+            qds = emb.limit(64).map_batches(
+                lambda b: pa.table(
+                    {"query_id": b.column("vec_id"), "embedding": b.column("embedding")}
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            ivf_rows = ann_ivf_ds(emb, qds, k=10, nlist=16, nprobe=4)
+            extras["ann_ivf_ds_rows"] = int(ivf_rows.num_rows)
         return timings, extras
 
     best: dict[str, float] = {}
