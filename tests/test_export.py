@@ -406,3 +406,35 @@ class TestRankByHash:
 
         with pytest.raises(ValueError, match="rank_by"):
             _rank_keys(np.arange(3), "random")
+
+    def test_join_regime_string_ids(self, ray_session):
+        """The join regime must also handle non-integer doc ids (the bench
+        uses id_col='url'): string keys through the explode, the drop-list
+        keyed exchange, and the join-back."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from raysketch.pipeline.decontam import line_dedup
+
+        texts = []
+        for i in range(40):
+            lines = [f"uniq {i}"]
+            if i % 2 == 0:
+                lines.append("hot boilerplate line")
+            texts.append("\n".join(lines))
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([f"url-{i}" for i in range(40)], pa.string()),
+                "text": pa.array(texts),
+            }
+        )
+        ds = rd.from_arrow(tbl).repartition(3)
+        a = line_dedup(ds, min_docs=5).to_pandas().sort_values("doc_id", ignore_index=True)
+        b = (
+            line_dedup(ds, min_docs=5, hot_switch=0)
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+        want = a["doc_id"].str.split("-").str[1].astype(int) % 2 == 0
+        assert (a["n_removed"] == want.astype(int)).all()
