@@ -191,18 +191,52 @@ def stratified_sample(
             (np.array(skeys), np.array([int(quotas[k]) for k in skeys], dtype=np.int64))
         )
         return _rank_select(narrow, key_col, id_col, qmap_ref, rank_by)
-    cnt = narrow.groupby(key_col).count().to_pandas()
-    if len(cnt) == 0 or key_col not in cnt.columns:
+    # proportional allocation consumes `narrow` twice (count pass + rank
+    # passes) — materialize the 2-column projection once so the input isn't
+    # scanned/derived twice (r5 profile: saved a full read+hash pass; the
+    # projection is ~16 B/row and spills, far below the input it projects)
+    narrow = narrow.materialize()
+    # group counts via in-batch partials + a tiny driver sum — NOT the native
+    # groupby-count, whose aggregator actors cost 7.5 s where this pass costs
+    # <1 s on the same 200k rows (r5 profile; key cardinality = languages/
+    # sources, so the driver sees only keys x blocks partial rows)
+    kc = _key_counts(narrow, key_col)
+    if kc is None:
         return narrow.limit(0)
-    ccol = [c for c in cnt.columns if c != key_col][0]
-    keys = cnt[key_col].to_numpy()
-    counts = cnt[ccol].to_numpy(dtype=np.int64)
+    keys, counts = kc
     total = int(counts.sum())
     qarr = np.maximum(1, (int(n_target) * counts) // total)
     qarr = np.minimum(qarr, counts)
-    order = np.argsort(keys)
-    qmap_ref = ray.put((keys[order], qarr[order]))
+    qmap_ref = ray.put((keys, qarr))
     return _rank_select(narrow, key_col, id_col, qmap_ref, rank_by)
+
+
+def _key_counts(narrow, key_col: str):
+    """Sorted ``(keys, counts)`` for a LOW-CARDINALITY key column: per-block
+    ``np.unique`` partials, driver-side bincount over the keys x blocks
+    partial rows. Returns None when the dataset is empty."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        k, c = np.unique(
+            np.asarray(b.column(key_col).combine_chunks()), return_counts=True
+        )
+        return pa.table({key_col: pa.array(k), "__c": pa.array(c.astype(np.int64))})
+
+    parts = [
+        b
+        for b in narrow.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    if not parts:
+        return None
+    t = pa.concat_tables(parts)
+    k = np.asarray(t.column(key_col))
+    c = np.asarray(t.column("__c"))
+    uk, inv = np.unique(k, return_inverse=True)
+    tot = np.bincount(inv, weights=c).astype(np.int64)
+    return uk, tot
 
 
 def _rank_select(narrow, key_col: str, id_col: str, qmap_ref, rank_by: str = "id"):
@@ -235,7 +269,12 @@ def _rank_select(narrow, key_col: str, id_col: str, qmap_ref, rank_by: str = "id
         return batch.filter(pa.array(mask))
 
     pre = narrow.map_batches(rank_filter, batch_format="pyarrow", zero_copy_batch=True)
-    parts = _keyed_parts(pre, [key_col], _num_partitions())
+    # the exchange can never fill more blocks than there are distinct quota
+    # keys — capping npart at the (known) key cardinality avoids spinning
+    # aggregator actors that receive nothing (r5 profile)
+    qkeys, _ = ray.get(qmap_ref)
+    npart = max(2, min(_num_partitions(), len(qkeys)))
+    parts = _keyed_parts(pre, [key_col], npart)
     return parts.map_batches(rank_filter, batch_format="pyarrow", batch_size=None)
 
 
