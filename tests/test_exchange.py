@@ -112,3 +112,29 @@ def test_sorted_reduce_shape_grid(ray_session, blocks, nkeys):
         .sort_values("k", ignore_index=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.parametrize(
+    "blocks,nkeys",
+    [(1, 1), (2, 2), (7, 3), (8, 50_000), (5, 1), (16, 97)],
+)
+def test_sorted_first_per_key_shape_grid(ray_session, blocks, nkeys):
+    """Same boundary-shape grid as the reduce: single block, keys ≈ blocks,
+    singleton-heavy, hot keys — the representative must match pandas
+    drop_duplicates on key-dependent payloads in every shape."""
+    import ray
+
+    from raysketch.pipeline.exchange import sorted_first_per_key
+
+    rng = np.random.default_rng(blocks * 77 + nkeys)
+    n = 5000
+    k = rng.integers(0, nkeys, n).astype(np.int64)
+    df = pd.DataFrame({"k": k, "s": ["v" + str(v) for v in k], "w": k * 7})
+    ds = ray.data.from_pandas(df).repartition(blocks)
+    got = (
+        sorted_first_per_key(ds, "k", ["s", "w"])
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    want = df.drop_duplicates("k").sort_values("k", ignore_index=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
