@@ -301,30 +301,31 @@ def mix_corpora(
     rem = n_target - int(base.sum())
     order = np.argsort(-(exact - base))
     base[order[:rem]] += 1
-    picked = []
-    for name, q in zip(names, base):
-        if q <= 0:
+    quotas = {name: int(q) for name, q in zip(names, base) if q > 0}
+    if not quotas:
+        raise ValueError("mix_corpora: all quotas are zero")
+    labeled = []
+    for name in names:
+        if name not in quotas:
             continue
-        ds = sources[name]
 
         def add_source(t: pa.Table, _n=name) -> pa.Table:
             return t.append_column(
                 "source", pa.array(np.full(t.num_rows, _n, dtype=object), pa.string())
             )
 
-        sel = stratified_sample(
-            ds.select_columns([id_col]).map_batches(
-                add_source, batch_format="pyarrow", zero_copy_batch=True
-            ),
-            key_col="source",
-            id_col=id_col,
-            quotas={name: int(q)},
-            rank_by=rank_by,
+        labeled.append(
+            sources[name]
+            .select_columns([id_col])
+            .map_batches(add_source, batch_format="pyarrow", zero_copy_batch=True)
         )
-        picked.append(sel)
-    if not picked:
-        raise ValueError("mix_corpora: all quotas are zero")
-    out = picked[0]
-    for p in picked[1:]:
-        out = out.union(p)
-    return out
+    # ONE labeled union + ONE quota-keyed selection — r5: replaces the
+    # per-source stratified_sample calls (S scans + S keyed exchanges) with a
+    # single pipeline; per-source rows/order are unchanged (quota per source,
+    # same rank rule)
+    u = labeled[0]
+    for p in labeled[1:]:
+        u = u.union(p)
+    return stratified_sample(
+        u, key_col="source", id_col=id_col, quotas=quotas, rank_by=rank_by
+    )
