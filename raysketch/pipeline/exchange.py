@@ -140,3 +140,52 @@ def sorted_first_per_key(ds, key_col: str, payload_cols: list[str], _stats: dict
     _, idx = np.unique(k, return_index=True)
     fixed = ray.data.from_arrow(et.take(pa.array(np.sort(idx))))
     return inner.union(fixed)
+
+
+def sorted_distinct(ds, cols: list[str]):
+    """DISTINCT over ``cols`` via the range-sort exchange: global sort by the
+    key columns, vectorized adjacent-row dedup per block, and the
+    <= 2-rows-per-block ``__edge`` fixup (a value straddling adjacent sorted
+    blocks leaves one survivor per side; the tiny edge table dedups exactly
+    with one Arrow ``group_by``). Works for any sortable column types,
+    including multi-column string keys. Same measured ~5x win over the keyed
+    HASH_SHUFFLE repartition as sorted_keyed_reduce (distinct IS a
+    first-per-key reduction). Caveat: float NaN keys never compare equal and
+    would not dedup — use the repartition path for NaN-bearing keys."""
+    import ray
+
+    s = ds.select_columns(cols).materialize()
+    if s.count() == 0:
+        # ds.sort on an all-empty Dataset is undefined across Ray versions
+        return s
+    s = s.sort(cols)
+
+    def block(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return t.append_column("__edge", pa.array([], pa.bool_()))
+        new = np.zeros(n, dtype=bool)
+        new[0] = True
+        for c in cols:
+            a = np.asarray(t.column(c).combine_chunks())
+            new[1:] |= a[1:] != a[:-1]
+        sel = t.filter(pa.array(new)) if not bool(new.all()) else t
+        m = sel.num_rows
+        edge = np.zeros(m, dtype=bool)
+        edge[0] = True
+        edge[-1] = True
+        return sel.append_column("__edge", pa.array(edge))
+
+    parts = s.map_batches(block, batch_format="pyarrow", batch_size=None).materialize()
+    inner = parts.filter(expr="__edge == False").drop_columns(["__edge"])
+    edge_batches = [
+        b
+        for b in parts.filter(expr="__edge == True")
+        .drop_columns(["__edge"])
+        .iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    if not edge_batches:
+        return inner
+    fixed = pa.concat_tables(edge_batches).group_by(cols).aggregate([])
+    return inner.union(ray.data.from_arrow(fixed))

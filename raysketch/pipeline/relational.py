@@ -71,19 +71,19 @@ def top_k_per_group(
     return parts.map_batches(per_block, batch_format="pyarrow", batch_size=None)
 
 
-def distinct_rows(ds, cols: list[str], num_partitions: int | None = None):
-    """DISTINCT over ``cols`` without the native hash aggregate: per-block
-    Arrow distinct (``Table.group_by(cols).aggregate([])`` — vectorized C++)
-    → keyed HASH_SHUFFLE repartition → per-block distinct. Distinct-style
-    keys are singleton-heavy by definition (groups ≈ rows), exactly the shape
-    where the aggregator's per-group machinery collapses (147 s vs ~10 s on
-    20M keys — BASELINE.md round-3); this stays pure Arrow at every step and
-    works for any column types, including multi-column string keys."""
-    from ray.data.context import ShuffleStrategy
+def distinct_rows(ds, cols: list[str], num_partitions: int | None = None, strategy: str = "sort"):
+    """DISTINCT over ``cols`` without the native hash aggregate (distinct-style
+    keys are singleton-heavy by definition — groups ≈ rows, exactly the shape
+    where the aggregator's per-group machinery collapses: 147 s vs ~10 s on
+    20M keys, BASELINE.md round-3).
 
-    from raysketch.pipeline.dedup import _num_partitions
-
-    npart = num_partitions or _num_partitions()
+    ``strategy="sort"`` (default, r5): per-block Arrow distinct combiner →
+    the range-sort exchange + adjacent-row dedup + edge fixup
+    (``exchange.sorted_distinct``) — the r4 sort-vs-hash-shuffle win applied
+    to DISTINCT (it is a first-per-key reduction). ``"repartition"``: the
+    keyed HASH_SHUFFLE path (use for float-NaN-bearing keys, which never
+    compare equal under the sort dedup)."""
+    from raysketch.pipeline.exchange import sorted_distinct
 
     def block_distinct(t: pa.Table) -> pa.Table:
         return t.group_by(cols).aggregate([])
@@ -91,6 +91,13 @@ def distinct_rows(ds, cols: list[str], num_partitions: int | None = None):
     pre = ds.select_columns(cols).map_batches(
         block_distinct, batch_format="pyarrow", zero_copy_batch=True
     )
+    if strategy == "sort":
+        return sorted_distinct(pre, cols)
+    from ray.data.context import ShuffleStrategy
+
+    from raysketch.pipeline.dedup import _num_partitions
+
+    npart = num_partitions or _num_partitions()
     pre.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     pre.context.default_hash_shuffle_parallelism = npart
     return pre.repartition(num_blocks=npart, keys=cols).map_batches(

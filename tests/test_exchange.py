@@ -138,3 +138,30 @@ def test_sorted_first_per_key_shape_grid(ray_session, blocks, nkeys):
     )
     want = df.drop_duplicates("k").sort_values("k", ignore_index=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.parametrize("strategy", ["sort", "repartition"])
+def test_distinct_rows_strategies_identical(ray_session, strategy):
+    """Both DISTINCT exchanges (r5 sort default vs keyed repartition) produce
+    the identical row set, incl. multi-column string keys and values that
+    straddle sorted-block boundaries."""
+    import ray
+
+    from raysketch.pipeline.relational import distinct_rows
+
+    rng = np.random.default_rng(13)
+    n = 20_000
+    df = pd.DataFrame(
+        {
+            "a": rng.integers(0, 300, n),
+            "b": np.array(["x", "y", "z"])[rng.integers(0, 3, n)],
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(7)
+    got = (
+        distinct_rows(ds, ["a", "b"], strategy=strategy)
+        .to_pandas()
+        .sort_values(["a", "b"], ignore_index=True)
+    )
+    want = df.drop_duplicates().sort_values(["a", "b"], ignore_index=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
