@@ -15,8 +15,104 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _NP_OPS = {"sum": np.add, "min": np.minimum, "max": np.maximum}
+
+
+def _adjacent_differs(t: pa.Table, cols: list[str]) -> np.ndarray:
+    """``out[i] = True`` when row ``i+1`` differs from row ``i`` on any of
+    ``cols`` — the adjacency mask behind the sorted-block dedups, computed
+    with NULL-SAFE Arrow kernels: ``null == null`` counts as equal (SQL
+    DISTINCT semantics) and int64 stays int64 end-to-end (``np.asarray`` of a
+    null-bearing int column silently converts to float64, where NaN breaks
+    equality and distinct values past 2^53 collide — the r5 bug this
+    replaced). Float NaN still never equals itself — the documented
+    ``strategy="repartition"`` escape for NaN-bearing keys stands."""
+    n = t.num_rows
+    diff = np.zeros(max(n - 1, 0), dtype=bool)
+    for c in cols:
+        x = t.column(c).combine_chunks()
+        hi, lo = x.slice(1), x.slice(0, n - 1)
+        eq = pc.fill_null(pc.equal(hi, lo), False)
+        same = pc.or_(eq, pc.and_(pc.is_null(hi), pc.is_null(lo)))
+        diff |= ~np.asarray(same)
+    return diff
+
+
+def _sort_unsafe_type(t: pa.DataType) -> bool:
+    """Types Ray's range sort cannot partition when nulls are present: the
+    boundary search runs ``np.searchsorted`` over the key column, and
+    string/binary/bool columns with None become numpy object arrays where
+    ``None < str`` raises TypeError. Numeric/temporal nulls ride numpy's
+    NaN/NaT path, which is order-consistent (tested to 2^53+1 int64)."""
+    return (
+        pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_binary(t)
+        or pa.types.is_large_binary(t)
+        or pa.types.is_boolean(t)
+    )
+
+
+def _null_fill_scalar(t: pa.DataType):
+    if pa.types.is_boolean(t):
+        return pa.scalar(False)
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return pa.scalar("", t)
+    return pa.scalar(b"", t)
+
+
+def _null_encode_for_sort(s, key_cols: list[str]):
+    """Make ``ds.sort`` safe for null string/binary/bool keys: replace each
+    sort-unsafe key column with ``fill_null`` and append an int8 is-null flag
+    that JOINS the sort key right after it. Equal original tuples stay equal
+    (the flag disambiguates a real "" from an encoded null), so group
+    contiguity after the sort is exact, and no comparison ever sees None.
+    Returns ``(dataset, sort_cols, encoded)`` where ``encoded`` is a list of
+    ``(col, flag_col)`` pairs for :func:`_null_decode`. No-op (zero cost) when
+    no key column is sort-unsafe — the hot int64 paths are untouched."""
+    schema = s.schema()
+    enc = [
+        c
+        for c, t in zip(schema.names, schema.types)
+        if c in key_cols and _sort_unsafe_type(t)
+    ]
+    if not enc:
+        return s, list(key_cols), []
+    flag = {c: f"__nul_{c}" for c in enc}
+
+    def encode(t: pa.Table) -> pa.Table:
+        for c in enc:
+            i = t.schema.get_field_index(c)
+            col = t.column(c)
+            isnull = pc.cast(pc.is_null(col), pa.int8())
+            t = t.set_column(i, c, pc.fill_null(col, _null_fill_scalar(col.type)))
+            t = t.append_column(flag[c], isnull)
+        return t
+
+    sort_cols: list[str] = []
+    for c in key_cols:
+        sort_cols.append(c)
+        if c in flag:
+            sort_cols.append(flag[c])
+    return (
+        s.map_batches(encode, batch_format="pyarrow", batch_size=None),
+        sort_cols,
+        [(c, flag[c]) for c in enc],
+    )
+
+
+def _null_decode(t: pa.Table, encoded: list[tuple[str, str]]) -> pa.Table:
+    """Undo :func:`_null_encode_for_sort` on a sorted block: restore nulls
+    where the flag is set and drop the flag columns."""
+    for c, f in encoded:
+        i = t.schema.get_field_index(c)
+        col = t.column(c)
+        mask = pc.cast(t.column(f), pa.bool_())
+        t = t.set_column(i, c, pc.if_else(mask, pa.scalar(None, col.type), col))
+        t = t.drop_columns([f])
+    return t
 
 
 def sorted_keyed_reduce(ds, key_col: str, aggs: dict[str, str]):
@@ -55,6 +151,11 @@ def sorted_keyed_reduce(ds, key_col: str, aggs: dict[str, str]):
                     "__edge": pa.array([], pa.bool_()),
                 }
             )
+        for c in cols:
+            if t.column(c).null_count:
+                # np.asarray would float64-convert a null-bearing int64
+                # column, silently corrupting the reduceat grouping
+                raise ValueError(f"sorted_keyed_reduce: column {c!r} contains nulls")
         k = np.asarray(t.column(key_col))
         order = np.argsort(k, kind="stable")
         k = k[order]
@@ -106,15 +207,16 @@ def sorted_first_per_key(ds, key_col: str, payload_cols: list[str], _stats: dict
     if s.count() == 0:
         # ds.sort on an all-empty Dataset is undefined across Ray versions
         return s
-    s = s.sort(key_col)
+    s, sort_cols, encoded = _null_encode_for_sort(s, [key_col])
+    s = s.sort(sort_cols)
 
     def block(t: pa.Table) -> pa.Table:
+        t = _null_decode(t, encoded)
         n = t.num_rows
         if n == 0:
             return t.append_column("__edge", pa.array([], pa.bool_()))
-        k = np.asarray(t.column(key_col).combine_chunks())
         first = np.ones(n, dtype=bool)
-        first[1:] = k[1:] != k[:-1]
+        first[1:] = _adjacent_differs(t, [key_col])
         sel = t.filter(pa.array(first)) if not bool(first.all()) else t
         m = sel.num_rows
         edge = np.zeros(m, dtype=bool)
@@ -135,10 +237,16 @@ def sorted_first_per_key(ds, key_col: str, payload_cols: list[str], _stats: dict
         _stats["edge_rows"] = sum(b.num_rows for b in edge_batches)
     if not edge_batches:
         return inner
-    et = pa.concat_tables(edge_batches)
-    k = np.asarray(et.column(key_col))
-    _, idx = np.unique(k, return_index=True)
-    fixed = ray.data.from_arrow(et.take(pa.array(np.sort(idx))))
+    # one representative per edge key, Arrow-native ("first" under the FD
+    # contract is any-occurrence; np.unique would float-convert null ints)
+    gb = pa.concat_tables(edge_batches).group_by(key_col).aggregate(
+        [(c, "first") for c in payload_cols]
+    )
+    fixed = ray.data.from_arrow(
+        pa.table(
+            {key_col: gb.column(key_col), **{c: gb.column(f"{c}_first") for c in payload_cols}}
+        )
+    )
     return inner.union(fixed)
 
 
@@ -150,25 +258,26 @@ def sorted_distinct(ds, cols: list[str]):
     with one Arrow ``group_by``). Works for any sortable column types,
     including multi-column string keys. Same measured ~5x win over the keyed
     HASH_SHUFFLE repartition as sorted_keyed_reduce (distinct IS a
-    first-per-key reduction). Caveat: float NaN keys never compare equal and
-    would not dedup — use the repartition path for NaN-bearing keys."""
+    first-per-key reduction). Nulls dedup like SQL DISTINCT (null == null in
+    both the adjacency mask and the edge ``group_by``). Caveat: float NaN
+    keys never compare equal and would not dedup — use the repartition path
+    for NaN-bearing keys."""
     import ray
 
     s = ds.select_columns(cols).materialize()
     if s.count() == 0:
         # ds.sort on an all-empty Dataset is undefined across Ray versions
         return s
-    s = s.sort(cols)
+    s, sort_cols, encoded = _null_encode_for_sort(s, cols)
+    s = s.sort(sort_cols)
 
     def block(t: pa.Table) -> pa.Table:
+        t = _null_decode(t, encoded)
         n = t.num_rows
         if n == 0:
             return t.append_column("__edge", pa.array([], pa.bool_()))
-        new = np.zeros(n, dtype=bool)
-        new[0] = True
-        for c in cols:
-            a = np.asarray(t.column(c).combine_chunks())
-            new[1:] |= a[1:] != a[:-1]
+        new = np.ones(n, dtype=bool)
+        new[1:] = _adjacent_differs(t, cols)
         sel = t.filter(pa.array(new)) if not bool(new.all()) else t
         m = sel.num_rows
         edge = np.zeros(m, dtype=bool)

@@ -165,3 +165,139 @@ def test_distinct_rows_strategies_identical(ray_session, strategy):
     )
     want = df.drop_duplicates().sort_values(["a", "b"], ignore_index=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestDistinctNullsAndExtremes:
+    """r5 null-safety fix: the adjacency mask must not round-trip int64
+    through float64 (null-bearing int columns did, so NaN broke equality and
+    distinct values past 2^53 could collide)."""
+
+    def test_distinct_null_int_keys(self, ray_session):
+        import ray
+        import pyarrow as pa
+
+        from raysketch.pipeline.relational import distinct_rows
+
+        big = 2**53  # adjacent int64 values that collide in float64
+        t = pa.table(
+            {
+                "k": pa.array(
+                    [None, None, None, 1, 1, big, big + 1, -5, -5, None],
+                    pa.int64(),
+                )
+            }
+        )
+        ds = ray.data.from_arrow(t).repartition(3)
+        # compare at the Arrow level: to_pandas() would itself float64-convert
+        # the null-bearing int64 column and collide big/big+1 in the TEST
+        out = pa.concat_tables(
+            distinct_rows(ds, ["k"], strategy="sort").iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        ).column("k")
+        vals = sorted(v for v in out.to_pylist() if v is not None)
+        assert vals == [-5, 1, big, big + 1]
+        assert out.null_count == 1  # SQL DISTINCT: one null row
+
+    def test_distinct_null_string_multicol(self, ray_session):
+        import ray
+        import pyarrow as pa
+
+        from raysketch.pipeline.relational import distinct_rows
+
+        t = pa.table(
+            {
+                "a": pa.array(["x", "x", None, None, "y", "x"]),
+                "b": pa.array([None, None, 7, 7, 1, 2], pa.int64()),
+            }
+        )
+        ds = ray.data.from_arrow(t).repartition(2)
+        got = (
+            distinct_rows(ds, ["a", "b"], strategy="sort")
+            .to_pandas()
+            .sort_values(["a", "b"], ignore_index=True)
+        )
+        assert len(got) == 4  # (x,null) (null,7) (y,1) (x,2)
+
+    def test_first_per_key_null_keys(self, ray_session):
+        import ray
+        import pyarrow as pa
+
+        from raysketch.pipeline.exchange import sorted_first_per_key
+
+        t = pa.table(
+            {
+                "k": pa.array([None, 3, None, 3, 9], pa.int64()),
+                "v": pa.array(["n", "a", "n", "a", "z"]),
+            }
+        )
+        ds = ray.data.from_arrow(t).repartition(2)
+        got = sorted_first_per_key(ds, "k", ["v"]).to_pandas()
+        assert len(got) == 3
+        assert sorted(got["v"].tolist()) == ["a", "n", "z"]
+
+    def test_keyed_reduce_rejects_nulls(self, ray_session):
+        import ray
+        import pyarrow as pa
+
+        from raysketch.pipeline.exchange import sorted_keyed_reduce
+
+        t = pa.table(
+            {
+                "k": pa.array([1, None, 2], pa.int64()),
+                "v": pa.array([1, 1, 1], pa.int64()),
+            }
+        )
+        ds = ray.data.from_arrow(t)
+        with pytest.raises(Exception, match="nulls"):
+            sorted_keyed_reduce(ds, "k", {"v": "sum"}).materialize()
+
+    def test_distinct_matches_duckdb_hypothesis(self, ray_session):
+        """Property: distinct_rows(strategy='sort') == DuckDB SELECT DISTINCT
+        on random typed tables (negative/huge ints, nulls, strings, blocks)."""
+        import duckdb
+        import ray
+        import pyarrow as pa
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        ints = st.one_of(
+            st.none(),
+            st.integers(min_value=-(2**62), max_value=2**62),
+            st.sampled_from([0, 1, -1, 2**53, 2**53 + 1, -(2**53)]),
+        )
+        strs = st.one_of(st.none(), st.sampled_from(["", "a", "b", "aa", "é"]))
+
+        @settings(
+            max_examples=12,
+            deadline=None,
+            suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+        )
+        @given(
+            rows=st.lists(st.tuples(ints, strs), min_size=1, max_size=60),
+            blocks=st.integers(min_value=1, max_value=4),
+        )
+        def check(rows, blocks):
+            from raysketch.pipeline.relational import distinct_rows
+
+            t = pa.table(
+                {
+                    "k": pa.array([r[0] for r in rows], pa.int64()),
+                    "s": pa.array([r[1] for r in rows], pa.string()),
+                }
+            )
+            ds = ray.data.from_arrow(t).repartition(blocks)
+            # Arrow-level compare: pandas float64-converts null-bearing int64
+            got = pa.concat_tables(
+                distinct_rows(ds, ["k", "s"], strategy="sort").iter_batches(
+                    batch_format="pyarrow", batch_size=None
+                )
+            )
+            want = duckdb.sql("SELECT DISTINCT k, s FROM t").arrow()
+            key = lambda tb: sorted(
+                zip(tb.column("k").to_pylist(), tb.column("s").to_pylist()),
+                key=lambda p: (p[0] is None, p[0] or 0, p[1] is None, p[1] or ""),
+            )
+            assert key(got) == key(want)
+
+        check()
