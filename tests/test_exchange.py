@@ -199,7 +199,8 @@ class TestDistinctNullsAndExtremes:
         assert vals == [-5, 1, big, big + 1]
         assert out.null_count == 1  # SQL DISTINCT: one null row
 
-    def test_distinct_null_string_multicol(self, ray_session):
+    @pytest.mark.parametrize("strategy", ["sort", "repartition"])
+    def test_distinct_null_string_multicol(self, ray_session, strategy):
         import ray
         import pyarrow as pa
 
@@ -213,7 +214,7 @@ class TestDistinctNullsAndExtremes:
         )
         ds = ray.data.from_arrow(t).repartition(2)
         got = (
-            distinct_rows(ds, ["a", "b"], strategy="sort")
+            distinct_rows(ds, ["a", "b"], strategy=strategy)
             .to_pandas()
             .sort_values(["a", "b"], ignore_index=True)
         )
