@@ -115,3 +115,76 @@ class TestSortedFirstPerKey:
             pa.table({"k": pa.array([], pa.int64()), "s": pa.array([], pa.string())})
         )
         assert sorted_first_per_key(ds, "k", ["s"]).count() == 0
+
+
+class TestNullTextTolerance:
+    """Real web corpora carry null/empty text and html; every text-facing
+    operator must pass them through (treating null like empty) rather than
+    crash. Batch-level kernels run directly; the dataset pipelines are
+    covered by the line_dedup/exact_dedup cases."""
+
+    @staticmethod
+    def _table():
+        return pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "text": pa.array(
+                    [
+                        "the quick brown fox jumps over the lazy dog",
+                        "the quick brown fox jumps over the lazy dog",
+                        None,
+                        "",
+                        "completely different words entirely here",
+                    ]
+                ),
+                "html": pa.array(
+                    [b"<p>x</p>", None, b"<p>y</p>", b"", b"<div>z</div>"],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    def test_batch_kernels_accept_nulls(self):
+        from raysketch.pipeline import text as T
+
+        t = self._table()
+        for fn, col in [
+            (T.extract_text_batch, "html"),
+            (T.token_count_batch, "text"),
+            (T.quality_batch, "text"),
+            (T.repetition_batch, "text"),
+            (T.fingerprint_batch, "text"),
+        ]:
+            out = fn(t) if col == "html" else fn(t, col="text")
+            assert out.num_rows == t.num_rows, fn.__name__
+
+    def test_exact_dedup_null_text(self, ray_session):
+        import ray.data as rd
+
+        from raysketch.pipeline.dedup import exact_dedup
+
+        ds = rd.from_arrow(self._table())
+        got = sorted(exact_dedup(ds, text_col="text", id_col="doc_id").to_pandas()["doc_id"])
+        # docs 1/2 are exact dups (one survivor). Null text fingerprints as a
+        # length-0 span, i.e. null ≡ "" for dedup purposes — docs 3/4 merge
+        # to one survivor too (the min-id winner). Pinned convention.
+        assert got == [1, 3, 5]
+
+    def test_line_dedup_null_text(self, ray_session):
+        import ray.data as rd
+
+        from raysketch.pipeline.decontam import line_dedup
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": pa.array(["a\nb\nc", "a\nx", None, "a\ny"]),
+            }
+        )
+        out = (
+            line_dedup(rd.from_arrow(t), text_col="text", id_col="doc_id", min_docs=3)
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert out["clean_text"].tolist() == ["b\nc", "x", "", "y"]
+        assert out["n_removed"].tolist() == [1, 1, 0, 1]
