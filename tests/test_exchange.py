@@ -302,3 +302,53 @@ class TestDistinctNullsAndExtremes:
             assert key(got) == key(want)
 
         check()
+
+
+def test_keyed_reduce_matches_duckdb_hypothesis(ray_session):
+    """Property: sorted_keyed_reduce == DuckDB GROUP BY sum/min/max on random
+    int64 tables (hot keys, negatives, extremes, 1-4 blocks)."""
+    import duckdb
+    import ray
+    import pyarrow as pa
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from raysketch.pipeline.exchange import sorted_keyed_reduce
+
+    keys = st.integers(min_value=-3, max_value=3)  # hot: every key straddles blocks
+    vals = st.one_of(
+        st.integers(min_value=-(2**40), max_value=2**40),
+        st.sampled_from([0, 1, -1, 2**53 + 1, -(2**53) - 1]),
+    )
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+    )
+    @given(
+        rows=st.lists(st.tuples(keys, vals, vals), min_size=1, max_size=80),
+        blocks=st.integers(min_value=1, max_value=4),
+    )
+    def check(rows, blocks):
+        t = pa.table(
+            {
+                "k": pa.array([r[0] for r in rows], pa.int64()),
+                "x": pa.array([r[1] for r in rows], pa.int64()),
+                "y": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        got = (
+            sorted_keyed_reduce(ds, "k", {"x": "sum", "y": "min"})
+            .to_pandas()
+            .sort_values("k", ignore_index=True)
+        )
+        want = duckdb.sql(
+            "SELECT k, sum(x)::BIGINT AS x, min(y) AS y FROM t GROUP BY k ORDER BY k"
+        ).fetchdf()
+        assert got["k"].tolist() == want["k"].tolist()
+        assert got["x"].tolist() == want["x"].tolist()
+        assert got["y"].tolist() == want["y"].tolist()
+
+    check()
