@@ -132,10 +132,12 @@ def run_chain(rows: int = 200_000, budget: int = 2048, num_files: int = 32):
 
     def drop_dups(t: pa.Table) -> pa.Table:
         d = ray.get(drop_ref)
+        if len(d) == 0:  # d[pos] on an empty array would raise
+            return t
         ids = np.asarray(t.column("doc_id"))
         pos = np.searchsorted(d, ids)
         pos[pos == len(d)] = 0
-        hit = (len(d) > 0) & (d[pos] == ids)
+        hit = d[pos] == ids
         return t.filter(pa.array(~hit))
 
     deduped = planted.map_batches(
@@ -163,10 +165,12 @@ def run_chain(rows: int = 200_000, budget: int = 2048, num_files: int = 32):
 
     def drop_bad(t: pa.Table) -> pa.Table:
         d = ray.get(bad_ref)
+        if len(d) == 0:  # d[pos] on an empty array would raise
+            return t
         ids = np.asarray(t.column("doc_id"))
         pos = np.searchsorted(d, ids)
         pos[pos == len(d)] = 0
-        hit = (len(d) > 0) & (d[pos] == ids)
+        hit = d[pos] == ids
         return t.filter(pa.array(~hit))
 
     final_docs = deduped.map_batches(
