@@ -217,9 +217,14 @@ def _key_counts(narrow, key_col: str):
     partial rows. Returns None when the dataset is empty."""
 
     def partial(b: pa.Table) -> pa.Table:
-        k, c = np.unique(
-            np.asarray(b.column(key_col).combine_chunks()), return_counts=True
-        )
+        col = b.column(key_col).combine_chunks()
+        if col.null_count:
+            # np.unique/lexsort over object arrays compare None — fail clearly
+            raise ValueError(
+                f"stratified_sample: key column {key_col!r} contains nulls; "
+                "fill_null to a sentinel stratum first"
+            )
+        k, c = np.unique(np.asarray(col), return_counts=True)
         return pa.table({key_col: pa.array(k), "__c": pa.array(c.astype(np.int64))})
 
     parts = [
@@ -253,7 +258,14 @@ def _rank_select(narrow, key_col: str, id_col: str, qmap_ref, rank_by: str = "id
         if m == 0:
             return batch
         qkeys, qvals = ray.get(qmap_ref)
-        k = np.asarray(batch.column(key_col).combine_chunks())
+        kcol = batch.column(key_col).combine_chunks()
+        if kcol.null_count:
+            # np.lexsort over object arrays compares None — fail clearly
+            raise ValueError(
+                f"stratified_sample: key column {key_col!r} contains nulls; "
+                "fill_null to a sentinel stratum first"
+            )
+        k = np.asarray(kcol)
         ids = np.asarray(batch.column(id_col))
         perm = np.lexsort((_rank_keys(ids, rank_by), k))
         ks = k[perm]

@@ -188,3 +188,22 @@ class TestNullTextTolerance:
         )
         assert out["clean_text"].tolist() == ["b\nc", "x", "", "y"]
         assert out["n_removed"].tolist() == [1, 1, 0, 1]
+
+
+def test_stratified_sample_null_keys_clear_error(ray_session):
+    """Null stratum keys fail with a clear contract error instead of numpy's
+    cryptic 'None < str' TypeError deep in the lexsort."""
+    import ray.data as rd
+
+    from raysketch.pipeline.export import stratified_sample
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "lang": pa.array(["en", None, "de"]),
+        }
+    )
+    with pytest.raises(Exception, match="contains nulls"):
+        stratified_sample(
+            rd.from_arrow(t), key_col="lang", id_col="doc_id", n_target=2
+        ).materialize()
