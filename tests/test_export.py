@@ -438,3 +438,60 @@ class TestRankByHash:
         pd.testing.assert_frame_equal(a, b)
         want = a["doc_id"].str.split("-").str[1].astype(int) % 2 == 0
         assert (a["n_removed"] == want.astype(int)).all()
+
+
+def test_pack_sequences_matches_cumsum_oracle_hypothesis(ray_session):
+    """Property: pack_sequences == the direct exclusive-cumsum oracle on random
+    token streams (zero-token docs, huge docs, random budgets/block counts) —
+    the two-level prefix sum and block-boundary base lookup must be exact."""
+    import ray
+    import pyarrow as pa
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from raysketch.pipeline.export import pack_sequences
+
+    toks = st.one_of(
+        st.integers(min_value=0, max_value=50),
+        st.sampled_from([0, 1, 5000]),  # zero-token and >budget docs
+    )
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+    )
+    @given(
+        n_tokens=st.lists(toks, min_size=1, max_size=60),
+        budget=st.integers(min_value=1, max_value=64),
+        blocks=st.integers(min_value=1, max_value=5),
+        shuffle_seed=st.integers(min_value=0, max_value=99),
+    )
+    def check(n_tokens, budget, blocks, shuffle_seed):
+        m = len(n_tokens)
+        rng = np.random.default_rng(shuffle_seed)
+        ids = rng.permutation(m).astype(np.int64)  # unique, arbitrary order
+        t = pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_tokens": pa.array(np.asarray(n_tokens, dtype=np.int64)),
+            }
+        )
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        got = (
+            pack_sequences(ds, budget=budget)
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        # direct oracle: exclusive cumsum in id order
+        order = np.argsort(ids, kind="stable")
+        nt = np.asarray(n_tokens, dtype=np.int64)[order]
+        pre = np.zeros(m, dtype=np.int64)
+        np.cumsum(nt[:-1], out=pre[1:])
+        last = pre + np.maximum(nt - 1, 0)
+        assert got["doc_id"].tolist() == np.sort(ids).tolist()
+        assert got["start_seq"].tolist() == (pre // budget).tolist()
+        assert got["end_seq"].tolist() == (last // budget).tolist()
+        assert got["start_off"].tolist() == (pre % budget).tolist()
+
+    check()
