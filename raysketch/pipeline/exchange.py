@@ -115,6 +115,29 @@ def _null_decode(t: pa.Table, encoded: list[tuple[str, str]]) -> pa.Table:
     return t
 
 
+_TINY_BLOCK_ROWS = 4096
+_TARGET_BLOCK_ROWS = 1 << 20
+
+
+def _coalesce_overblocked(s, n_rows: int):
+    """Fixed per-task overhead dominates the sort exchange when the input is
+    many TINY blocks — hot_ngrams' recovery emits one ~|hot|-row hit table per
+    scan task, so the exchange would run 4 Ray jobs x hundreds of ~100-row
+    tasks for a few thousand total rows (measured 3.6-4.8 s of pure scheduling
+    at the 200k-doc bench cell). Coalesce to ~1M-row blocks first: a plain
+    ``repartition`` (no keys — the sort does the placement) whose one cheap
+    extra job removes hundreds of tasks from every downstream job. Strictly a
+    no-op for the 20M-row reduction cells, whose blocks are already large."""
+    try:
+        nb = s.num_blocks()
+    except Exception:
+        return s
+    if nb is None or nb <= 1 or n_rows // nb >= _TINY_BLOCK_ROWS:
+        return s
+    target = max(1, min(nb - 1, n_rows // _TARGET_BLOCK_ROWS + 1))
+    return s.repartition(target)
+
+
 def sorted_keyed_reduce(ds, key_col: str, aggs: dict[str, str]):
     """Exact per-key reduction of int64 columns: ``aggs`` maps column name ->
     ``"sum" | "min" | "max"``. Returns a Dataset with columns
@@ -128,10 +151,12 @@ def sorted_keyed_reduce(ds, key_col: str, aggs: dict[str, str]):
 
     cols = [key_col, *aggs]
     s = ds.select_columns(cols).materialize()
-    if s.count() == 0:
+    n_rows = s.count()
+    if n_rows == 0:
         # ds.sort on an all-empty Dataset is undefined across Ray versions
         # (the _emit_pairs guard) — the typed empty selection IS the answer
         return s
+    s = _coalesce_overblocked(s, n_rows)
     schema = s.schema()
     for name, typ in zip(schema.names, schema.types):
         if name in cols and typ != pa.int64():
@@ -204,9 +229,11 @@ def sorted_first_per_key(ds, key_col: str, payload_cols: list[str], _stats: dict
     s = ds.select_columns(cols).materialize()
     if _stats is not None:
         _stats["edge_rows"] = 0
-    if s.count() == 0:
+    n_rows = s.count()
+    if n_rows == 0:
         # ds.sort on an all-empty Dataset is undefined across Ray versions
         return s
+    s = _coalesce_overblocked(s, n_rows)
     s, sort_cols, encoded = _null_encode_for_sort(s, [key_col])
     s = s.sort(sort_cols)
 
@@ -265,9 +292,11 @@ def sorted_distinct(ds, cols: list[str]):
     import ray
 
     s = ds.select_columns(cols).materialize()
-    if s.count() == 0:
+    n_rows = s.count()
+    if n_rows == 0:
         # ds.sort on an all-empty Dataset is undefined across Ray versions
         return s
+    s = _coalesce_overblocked(s, n_rows)
     s, sort_cols, encoded = _null_encode_for_sort(s, cols)
     s = s.sort(sort_cols)
 
