@@ -207,3 +207,44 @@ def test_stratified_sample_null_keys_clear_error(ray_session):
         stratified_sample(
             rd.from_arrow(t), key_col="lang", id_col="doc_id", n_target=2
         ).materialize()
+
+
+class TestCoalesceOverblocked:
+    """The r5 scheduling-overhead fix: a sort exchange fed hundreds of tiny
+    blocks (hot_ngrams' per-scan-task recovery hits) must coalesce before
+    sorting — and must NOT touch inputs whose blocks are already large."""
+
+    def test_tiny_blocks_coalesce_and_result_exact(self, ray_session):
+        import ray.data as rd
+
+        from raysketch.pipeline.exchange import (
+            _coalesce_overblocked,
+            sorted_first_per_key,
+        )
+
+        rng = np.random.default_rng(11)
+        k = rng.integers(0, 300, size=6_000).astype(np.int64)
+        df = pd.DataFrame({"k": k, "s": [f"v{v}" for v in k]})
+        ds = rd.from_pandas(df).repartition(120).materialize()
+        out = _coalesce_overblocked(ds, 6_000)
+        assert out.materialize().num_blocks() < 120
+        got = (
+            sorted_first_per_key(ds, "k", ["s"])
+            .to_pandas()
+            .sort_values("k", ignore_index=True)
+        )
+        want = df.drop_duplicates("k").sort_values("k", ignore_index=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_large_blocks_untouched(self, ray_session):
+        import ray.data as rd
+
+        from raysketch.pipeline.exchange import _coalesce_overblocked
+
+        n = 40_000  # 4 blocks x 10k rows >> the 4096-row tiny threshold
+        ds = (
+            rd.from_pandas(pd.DataFrame({"k": np.arange(n, dtype=np.int64)}))
+            .repartition(4)
+            .materialize()
+        )
+        assert _coalesce_overblocked(ds, n) is ds
