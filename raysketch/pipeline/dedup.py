@@ -694,10 +694,16 @@ def _emit_pairs(
 
     out_cols = ["a", "b", *ecols]
     pre = pre.materialize()
-    if pre.count() == 0:
+    n_pairs = pre.count()
+    if n_pairs == 0:
         # ds.sort on an all-empty Dataset is undefined across Ray versions;
         # the typed empty blocks from pairs_block are already the answer
         return pre.repartition(num_blocks=num_partitions)
+    from raysketch.pipeline.exchange import _coalesce_overblocked
+
+    # candidate pairs are usually FEW but spread over every emission block —
+    # coalesce tiny blocks so the sort isn't hundreds of ~10-row tasks
+    pre = _coalesce_overblocked(pre, n_pairs)
 
     def pair_finalize_edge(t: pa.Table) -> pa.Table:
         n = t.num_rows
