@@ -767,40 +767,46 @@ def q_bloom_membership_ckpt(sf_dir: str):
     routes each probe block straight to its shard files — the driver touches
     only the manifest. Counts are bitwise-equal to q_bloom_membership (the
     exact cells are what the SQL oracle states)."""
+    import shutil
     import tempfile
 
     from raysketch.pipeline.partitioned import build_partitioned_bloom_refs
     from raysketch.pipeline.probe import probe_partitioned_ckpt
 
     ckpt = tempfile.mkdtemp(prefix="raysketch_memb_ckpt_", dir="/tmp")
-    li = _read(sf_dir, "lineitem", ["l_orderkey"])
-    n = li.count()
-    _, probe_ds = _bloom_membership_setup(sf_dir, build=False)
-    build_partitioned_bloom_refs(
-        li, "l_orderkey", capacity=max(n, 1), num_shards=32, ckpt_dir=ckpt
-    )
-    probed = probe_partitioned_ckpt(
-        probe_ds, ckpt, "l_orderkey", out_column="__member", keep=("is_positive",)
-    )
-
-    def partial_counts(batch: pa.Table) -> pa.Table:
-        pred = np.asarray(batch.column("__member").combine_chunks())
-        label = np.asarray(batch.column("is_positive").combine_chunks())
-        return pa.table(
-            {
-                "tp": [int(np.sum(pred & label))],
-                "fp": [int(np.sum(pred & ~label))],
-                "fn": [int(np.sum(~pred & label))],
-                "tn": [int(np.sum(~pred & ~label))],
-            }
+    try:
+        li = _read(sf_dir, "lineitem", ["l_orderkey"])
+        n = li.count()
+        _, probe_ds = _bloom_membership_setup(sf_dir, build=False)
+        build_partitioned_bloom_refs(
+            li, "l_orderkey", capacity=max(n, 1), num_shards=32, ckpt_dir=ckpt
+        )
+        probed = probe_partitioned_ckpt(
+            probe_ds, ckpt, "l_orderkey", out_column="__member", keep=("is_positive",)
         )
 
-    agg = probed.map_batches(partial_counts, batch_format="pyarrow").sum(
-        ["tp", "fp", "fn", "tn"]
-    )
-    cm = {c: int(agg[f"sum({c})"]) for c in ("tp", "fp", "fn", "tn")}
-    cm["test_count"] = sum(cm.values())
-    return _cm_frame(None, cm)
+        def partial_counts(batch: pa.Table) -> pa.Table:
+            pred = np.asarray(batch.column("__member").combine_chunks())
+            label = np.asarray(batch.column("is_positive").combine_chunks())
+            return pa.table(
+                {
+                    "tp": [int(np.sum(pred & label))],
+                    "fp": [int(np.sum(pred & ~label))],
+                    "fn": [int(np.sum(~pred & label))],
+                    "tn": [int(np.sum(~pred & ~label))],
+                }
+            )
+
+        agg = probed.map_batches(partial_counts, batch_format="pyarrow").sum(
+            ["tp", "fp", "fn", "tn"]
+        )
+        cm = {c: int(agg[f"sum({c})"]) for c in ("tp", "fp", "fn", "tn")}
+        cm["test_count"] = sum(cm.values())
+        return _cm_frame(None, cm)
+    finally:
+        # the counts above are driver-side before this runs — a repeated gate
+        # run must not accumulate filter-sized checkpoint dirs in /tmp
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def q_bloom_delete(sf_dir: str):
@@ -1730,14 +1736,20 @@ def q_export_shards(sf_dir: str):
     row counts — which plain SQL states. Resume semantics (skip finished
     shards, byte-deterministic files) are covered by
     tests/test_shards_export.py."""
+    import shutil
     import tempfile
 
     from raysketch.io.shards import write_corpus_shards
 
     docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
     out_dir = tempfile.mkdtemp(prefix="raysketch_shards_", dir="/tmp")
-    summary = write_corpus_shards(docs, out_dir, key_col="doc_id", num_shards=16)
-    return summary[["shard", "n_rows"]]
+    try:
+        summary = write_corpus_shards(docs, out_dir, key_col="doc_id", num_shards=16)
+        return summary[["shard", "n_rows"]]
+    finally:
+        # summary is a driver-side frame — repeated gate runs must not
+        # accumulate corpus-sized shard dirs in /tmp
+        shutil.rmtree(out_dir, ignore_errors=True)
 
 
 def q_pack_sequences(sf_dir: str):
@@ -1926,9 +1938,12 @@ def oracle_sql() -> dict[str, str]:
             "tgt AS (SELECT lang, least(c, greatest(1, (100 * c) // t)) AS q FROM cnt, tot), "
             "r1 AS (SELECT doc_id, lang, row_number() OVER "
             "(PARTITION BY lang ORDER BY doc_id) AS rn FROM documents), "
+            # sign-correct mod-2^64 wrap: DuckDB % follows the dividend's sign,
+            # so negative ids need the +2^64 re-mod to match numpy's uint64 wrap
             "r2 AS (SELECT doc_id, lang, row_number() OVER "
             "(PARTITION BY lang ORDER BY "
-            "(doc_id::HUGEINT * 11400714819323198485) % 18446744073709551616) AS rn "
+            "(((doc_id::HUGEINT * 11400714819323198485) % 18446744073709551616) "
+            "+ 18446744073709551616) % 18446744073709551616) AS rn "
             "FROM documents) "
             "SELECT 'id' AS rank_by, r1.doc_id, r1.lang FROM r1 JOIN tgt USING (lang) WHERE rn <= q "
             "UNION ALL "

@@ -605,9 +605,13 @@ def line_dedup(
         ids = np.asarray(batch.column(id_col))
         total = int(offs[-1]) if len(offs) else 0
         line_no = np.arange(total, dtype=np.int64) - np.repeat(offs[:-1], d)
+        # explicit id type: an empty (or all-empty-doc) batch would otherwise
+        # infer a null-typed column and break block schema unification for
+        # string doc ids
+        id_type = batch.schema.field(id_col).type
         return pa.table(
             {
-                id_col: np.repeat(ids, d),
+                id_col: pa.array(np.repeat(ids, d), type=id_type),
                 "line_no": pa.array(line_no),
                 "h": pa.array(h.view(np.int64)),
             }
@@ -627,10 +631,13 @@ def line_dedup(
         # list travels as a packed u64 binary blob (the dedup.py convention)
         m = batch.num_rows
         if m == 0:
+            # derive the id column from the batch so string doc ids keep
+            # their type (a hardcoded int64 would conflict with sibling
+            # blocks at join-schema unification)
             return pa.table(
                 {
-                    id_col: pa.array([], pa.int64()),
-                    "__drop_blob": pa.array([], pa.binary()),
+                    id_col: batch.column(id_col),
+                    "__drop_blob": pa.array([], pa.large_binary()),
                 }
             )
         ids = np.asarray(batch.column(id_col).combine_chunks())

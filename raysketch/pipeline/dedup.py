@@ -345,27 +345,22 @@ def _sorted_unique_segments(h: np.ndarray, offs: np.ndarray) -> tuple[np.ndarray
     return hu, su, np.bincount(su, minlength=nseg)
 
 
-def _pack_u64_binary(
-    values: np.ndarray, counts: np.ndarray, force_large: bool = False
-) -> pa.Array:
-    """Pack segmented uint64 arrays into a pyarrow binary column (segment i gets
-    ``counts[i]`` 8-byte little-endian words) — zero per-row Python. Payloads at
-    or past the 2 GiB int32-offset limit are emitted as ``large_binary`` with
-    int64 offsets (``_unpack_u64_binary`` reads both); ``force_large`` exists so
-    the fallback is unit-testable without a 2 GiB allocation."""
-    total_bytes = int(counts.sum()) * 8
-    if force_large or total_bytes >= 2**31:
-        byte_offs = np.zeros(len(counts) + 1, dtype=np.int64)
-        np.cumsum(counts * 8, out=byte_offs[1:])
-        return pa.Array.from_buffers(
-            pa.large_binary(),
-            len(counts),
-            [None, pa.py_buffer(byte_offs.tobytes()), pa.py_buffer(np.ascontiguousarray(values).tobytes())],
-        )
-    byte_offs = np.zeros(len(counts) + 1, dtype=np.int32)
+def _pack_u64_binary(values: np.ndarray, counts: np.ndarray) -> pa.Array:
+    """Pack segmented uint64 arrays into a pyarrow ``large_binary`` column
+    (segment i gets ``counts[i]`` 8-byte little-endian words) — zero per-row
+    Python. Always int64 offsets: immune to the 2 GiB int32-offset wrap, and
+    — the real constraint — ONE type across every block of the column. A
+    per-block size-triggered binary/large_binary promotion would hand
+    downstream joins (the ``sh_a``/``sh_b`` payloads, line_dedup's
+    ``__drop_blob``) blocks with conflicting schemas exactly in the regime
+    the promotion targets. The 4 extra offset bytes/row are noise next to
+    the multi-hundred-byte blobs the rows carry. Acero joins carry
+    large_binary payloads (verified); ``_unpack_u64_binary`` reads both
+    offset widths."""
+    byte_offs = np.zeros(len(counts) + 1, dtype=np.int64)
     np.cumsum(counts * 8, out=byte_offs[1:])
     return pa.Array.from_buffers(
-        pa.binary(),
+        pa.large_binary(),
         len(counts),
         [None, pa.py_buffer(byte_offs.tobytes()), pa.py_buffer(np.ascontiguousarray(values).tobytes())],
     )
@@ -1391,14 +1386,17 @@ def embedding_cosine_dedup(
         return pa.table(_EMPTY_CLUSTERS)
 
     # Ray's hash join rejects list<float> non-key fields — carry the vectors as
-    # fixed-width float64 binary blobs through the join, decode in the verify task
+    # fixed-width float64 binary blobs through the join, decode in the verify
+    # task. large_binary (int64 offsets) like every packed blob in this repo:
+    # one consistent type across blocks, and a 768-dim float64 embedding is
+    # 6 KB/row — a ~350k-row block would wrap int32 offsets.
     def pack_vec(batch: pa.Table) -> pa.Table:
         V = embedding_matrix(batch.column(emb_col)).astype(np.float64)
         n, d = V.shape
         raw = np.ascontiguousarray(V).view(np.uint8)
-        offsets = (np.arange(n + 1, dtype=np.int32)) * (d * 8)
+        offsets = (np.arange(n + 1, dtype=np.int64)) * (d * 8)
         arr = pa.Array.from_buffers(
-            pa.binary(), n, [None, pa.py_buffer(offsets), pa.py_buffer(raw.ravel())]
+            pa.large_binary(), n, [None, pa.py_buffer(offsets), pa.py_buffer(raw.ravel())]
         )
         return pa.table({id_col: batch.column(id_col), "__vec": arr})
 

@@ -27,8 +27,11 @@ def _adjacent_differs(t: pa.Table, cols: list[str]) -> np.ndarray:
     DISTINCT semantics) and int64 stays int64 end-to-end (``np.asarray`` of a
     null-bearing int column silently converts to float64, where NaN breaks
     equality and distinct values past 2^53 collide — the r5 bug this
-    replaced). Float NaN still never equals itself — the documented
-    ``strategy="repartition"`` escape for NaN-bearing keys stands."""
+    replaced). Float NaN also counts as equal to NaN (``pc.equal`` never
+    matches NaN, which would leave one surviving NaN row per pre-sort block
+    — the sort places all NaNs adjacent, so this mask is the only place the
+    semantics live; the edge fixup's Arrow ``group_by`` already collapses
+    NaN to one key)."""
     n = t.num_rows
     diff = np.zeros(max(n - 1, 0), dtype=bool)
     for c in cols:
@@ -36,6 +39,9 @@ def _adjacent_differs(t: pa.Table, cols: list[str]) -> np.ndarray:
         hi, lo = x.slice(1), x.slice(0, n - 1)
         eq = pc.fill_null(pc.equal(hi, lo), False)
         same = pc.or_(eq, pc.and_(pc.is_null(hi), pc.is_null(lo)))
+        if pa.types.is_floating(x.type):
+            nan_both = pc.fill_null(pc.and_(pc.is_nan(hi), pc.is_nan(lo)), False)
+            same = pc.or_(same, nan_both)
         diff |= ~np.asarray(same)
     return diff
 
@@ -209,23 +215,23 @@ def sorted_keyed_reduce(ds, key_col: str, aggs: dict[str, str]):
     return inner.union(fixed)
 
 
-def sorted_first_per_key(ds, key_col: str, payload_cols: list[str], _stats: dict | None = None):
-    """One representative row per distinct key, for payload columns that are
-    functionally dependent on the key (e.g. hash -> recovered n-gram string):
-    any occurrence is a correct representative, so the result is deterministic.
-
-    Same exchange discipline as :func:`sorted_keyed_reduce`: range sort by
-    ``key_col``, vectorized per-block first-occurrence dedup, and a
-    <= 2-rows-per-block ``__edge`` fixup so a key straddling adjacent sorted
-    blocks still yields exactly one row. Payload columns keep their Arrow
-    types (strings fine); only the key must be ``ds.sort``-able. Driver
-    traffic is the edge set only — O(#blocks), never O(keys x blocks) (the
-    r4 hot_ngrams recovery-merge fix). ``_stats``, when passed, receives
-    ``{"edge_rows": n}`` — the exact driver-received row count, asserted by
-    the stress test."""
+def _sorted_edge_dedup(
+    ds, key_cols: list[str], payload_cols: list[str], _stats: dict | None = None
+):
+    """The shared engine behind :func:`sorted_first_per_key` and
+    :func:`sorted_distinct`: range sort by ``key_cols`` (null-encoded for
+    sort-unsafe types), vectorized per-block first-occurrence dedup on the
+    adjacency mask, and the <= 2-rows-per-block ``__edge`` fixup — a key
+    straddling adjacent sorted blocks leaves one survivor per side; the tiny
+    edge table re-dedups exactly with one Arrow ``group_by`` ("first" under
+    the FD contract is any-occurrence; np.unique would float-convert null
+    ints). Driver traffic is the edge set only — O(#blocks), never
+    O(keys x blocks). Nulls dedup like SQL DISTINCT and float NaN keys
+    dedup to one row (``_adjacent_differs`` + Arrow ``group_by`` both treat
+    NaN == NaN)."""
     import ray
 
-    cols = [key_col, *payload_cols]
+    cols = [*key_cols, *payload_cols]
     s = ds.select_columns(cols).materialize()
     if _stats is not None:
         _stats["edge_rows"] = 0
@@ -234,7 +240,7 @@ def sorted_first_per_key(ds, key_col: str, payload_cols: list[str], _stats: dict
         # ds.sort on an all-empty Dataset is undefined across Ray versions
         return s
     s = _coalesce_overblocked(s, n_rows)
-    s, sort_cols, encoded = _null_encode_for_sort(s, [key_col])
+    s, sort_cols, encoded = _null_encode_for_sort(s, key_cols)
     s = s.sort(sort_cols)
 
     def block(t: pa.Table) -> pa.Table:
@@ -243,7 +249,7 @@ def sorted_first_per_key(ds, key_col: str, payload_cols: list[str], _stats: dict
         if n == 0:
             return t.append_column("__edge", pa.array([], pa.bool_()))
         first = np.ones(n, dtype=bool)
-        first[1:] = _adjacent_differs(t, [key_col])
+        first[1:] = _adjacent_differs(t, key_cols)
         sel = t.filter(pa.array(first)) if not bool(first.all()) else t
         m = sel.num_rows
         edge = np.zeros(m, dtype=bool)
@@ -264,66 +270,38 @@ def sorted_first_per_key(ds, key_col: str, payload_cols: list[str], _stats: dict
         _stats["edge_rows"] = sum(b.num_rows for b in edge_batches)
     if not edge_batches:
         return inner
-    # one representative per edge key, Arrow-native ("first" under the FD
-    # contract is any-occurrence; np.unique would float-convert null ints)
-    gb = pa.concat_tables(edge_batches).group_by(key_col).aggregate(
+    gb = pa.concat_tables(edge_batches).group_by(key_cols).aggregate(
         [(c, "first") for c in payload_cols]
     )
-    fixed = ray.data.from_arrow(
-        pa.table(
-            {key_col: gb.column(key_col), **{c: gb.column(f"{c}_first") for c in payload_cols}}
-        )
+    fixed = pa.table(
+        {
+            **{k: gb.column(k) for k in key_cols},
+            **{c: gb.column(f"{c}_first") for c in payload_cols},
+        }
     )
-    return inner.union(fixed)
+    return inner.union(ray.data.from_arrow(fixed))
+
+
+def sorted_first_per_key(ds, key_col: str, payload_cols: list[str], _stats: dict | None = None):
+    """One representative row per distinct key, for payload columns that are
+    functionally dependent on the key (e.g. hash -> recovered n-gram string):
+    any occurrence is a correct representative, so the result is deterministic.
+
+    Same exchange discipline as :func:`sorted_keyed_reduce` — see
+    :func:`_sorted_edge_dedup`. Payload columns keep their Arrow types
+    (strings fine); only the key must be ``ds.sort``-able (null string/bool/
+    binary keys are encoded). Driver traffic is the edge set only (the r4
+    hot_ngrams recovery-merge fix). ``_stats``, when passed, receives
+    ``{"edge_rows": n}`` — the exact driver-received row count, asserted by
+    the stress test."""
+    return _sorted_edge_dedup(ds, [key_col], payload_cols, _stats)
 
 
 def sorted_distinct(ds, cols: list[str]):
-    """DISTINCT over ``cols`` via the range-sort exchange: global sort by the
-    key columns, vectorized adjacent-row dedup per block, and the
-    <= 2-rows-per-block ``__edge`` fixup (a value straddling adjacent sorted
-    blocks leaves one survivor per side; the tiny edge table dedups exactly
-    with one Arrow ``group_by``). Works for any sortable column types,
-    including multi-column string keys. Same measured ~5x win over the keyed
-    HASH_SHUFFLE repartition as sorted_keyed_reduce (distinct IS a
-    first-per-key reduction). Nulls dedup like SQL DISTINCT (null == null in
-    both the adjacency mask and the edge ``group_by``). Caveat: float NaN
-    keys never compare equal and would not dedup — use the repartition path
-    for NaN-bearing keys."""
-    import ray
-
-    s = ds.select_columns(cols).materialize()
-    n_rows = s.count()
-    if n_rows == 0:
-        # ds.sort on an all-empty Dataset is undefined across Ray versions
-        return s
-    s = _coalesce_overblocked(s, n_rows)
-    s, sort_cols, encoded = _null_encode_for_sort(s, cols)
-    s = s.sort(sort_cols)
-
-    def block(t: pa.Table) -> pa.Table:
-        t = _null_decode(t, encoded)
-        n = t.num_rows
-        if n == 0:
-            return t.append_column("__edge", pa.array([], pa.bool_()))
-        new = np.ones(n, dtype=bool)
-        new[1:] = _adjacent_differs(t, cols)
-        sel = t.filter(pa.array(new)) if not bool(new.all()) else t
-        m = sel.num_rows
-        edge = np.zeros(m, dtype=bool)
-        edge[0] = True
-        edge[-1] = True
-        return sel.append_column("__edge", pa.array(edge))
-
-    parts = s.map_batches(block, batch_format="pyarrow", batch_size=None).materialize()
-    inner = parts.filter(expr="__edge == False").drop_columns(["__edge"])
-    edge_batches = [
-        b
-        for b in parts.filter(expr="__edge == True")
-        .drop_columns(["__edge"])
-        .iter_batches(batch_format="pyarrow")
-        if b.num_rows
-    ]
-    if not edge_batches:
-        return inner
-    fixed = pa.concat_tables(edge_batches).group_by(cols).aggregate([])
-    return inner.union(ray.data.from_arrow(fixed))
+    """DISTINCT over ``cols`` via the range-sort exchange (see
+    :func:`_sorted_edge_dedup` — distinct IS a first-per-key reduction with
+    no payload). Works for any sortable column types, including multi-column
+    string keys; same measured ~5x win over the keyed HASH_SHUFFLE
+    repartition as sorted_keyed_reduce. Nulls dedup like SQL DISTINCT
+    (null == null) and float NaN keys dedup to one row."""
+    return _sorted_edge_dedup(ds, cols, [])

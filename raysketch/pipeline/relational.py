@@ -80,9 +80,11 @@ def distinct_rows(ds, cols: list[str], num_partitions: int | None = None, strate
     ``strategy="sort"`` (default, r5): per-block Arrow distinct combiner →
     the range-sort exchange + adjacent-row dedup + edge fixup
     (``exchange.sorted_distinct``) — the r4 sort-vs-hash-shuffle win applied
-    to DISTINCT (it is a first-per-key reduction). ``"repartition"``: the
-    keyed HASH_SHUFFLE path (use for float-NaN-bearing keys, which never
-    compare equal under the sort dedup)."""
+    to DISTINCT (it is a first-per-key reduction). Nulls and float NaN keys
+    both dedup to one row under either strategy (the adjacency mask and the
+    edge group_by treat NaN == NaN, matching the Arrow hash aggregate).
+    ``"repartition"``: the keyed HASH_SHUFFLE path; ``num_partitions``
+    applies to that strategy only (the sort exchange sizes itself)."""
     from raysketch.pipeline.exchange import sorted_distinct
 
     def block_distinct(t: pa.Table) -> pa.Table:

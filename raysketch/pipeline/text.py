@@ -558,12 +558,18 @@ def canonicalize_url_batch(
     return batch.append_column(out, canonicalize_url_array(batch.column(col)))
 
 
+# utf8's int32 data-offset ceiling; module-level so the overflow error path is
+# testable without a 2 GiB allocation
+_UTF8_OFFSET_LIMIT = 2**31
+
+
 def chunk_text_batch(
     batch: pa.Table,
     col: str = "text",
     id_col: str = "doc_id",
     chunk_size: int = 256,
     stride: int = 192,
+    large: bool = False,
 ) -> pa.Table:
     """Overlapping-window document chunking (the RAG/embedding-pipeline
     pre-pass): one chunk per window start ``k*stride < len(text)``, each
@@ -571,7 +577,14 @@ def chunk_text_batch(
     ``substring`` oracle matches; multi-byte text would need codepoint
     slicing). Zero-length docs emit no chunks. Fully vectorized: per-doc
     window counts, one ``np.repeat`` fan-out and one ragged byte gather —
-    the ``extract_text_array`` pattern."""
+    the ``extract_text_array`` pattern.
+
+    ``large=False`` (default) emits utf8 and raises past the 2 GiB
+    int32-offset limit; ``large=True`` emits large_utf8 (int64 offsets) for
+    EVERY batch. The type must be chosen up front, not promoted per batch —
+    a size-triggered per-batch promotion would mix utf8/large_utf8 blocks
+    in one column and break schema unification exactly when it fires."""
+    chunk_type = pa.large_utf8() if large else pa.utf8()
     text = batch.column(col)
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
@@ -582,10 +595,10 @@ def chunk_text_batch(
     if total == 0:
         return pa.table(
             {
-                id_col: pa.array([], pa.int64()),
+                id_col: pa.array([], batch.schema.field(id_col).type),
                 "chunk_idx": pa.array([], pa.int64()),
                 "start_off": pa.array([], pa.int64()),
-                "chunk_text": pa.array([], pa.string()),
+                "chunk_text": pa.array([], chunk_type),
             }
         )
     doc_idx = np.repeat(np.arange(len(ids), dtype=np.int64), n_chunks)
@@ -602,13 +615,20 @@ def chunk_text_batch(
         np.arange(grand, dtype=np.int64) - np.repeat(offsets[:-1], clen)
     )
     buf = data[idx] if grand else np.empty(0, dtype=np.uint8)
-    if grand >= 2**31:
-        # int32 offsets would silently wrap (the _pack_u64_binary lesson) —
-        # promote to large_utf8 with true int64 offsets instead of corrupting
+    if large:
         chunks = pa.Array.from_buffers(
             pa.large_utf8(),
             total,
             [None, pa.py_buffer(offsets), pa.py_buffer(buf)],
+        )
+    elif grand >= _UTF8_OFFSET_LIMIT:
+        # int32 offsets would silently wrap (the _pack_u64_binary lesson) —
+        # and silently promoting ONLY this batch would mix utf8/large_utf8
+        # blocks in one column: fail with the remedy instead
+        raise ValueError(
+            f"chunk_text_batch: batch expands to {grand} chunk bytes, past the "
+            "2 GiB utf8 offset limit — pass large=True (large_utf8 for every "
+            "batch) or shrink the batch size"
         )
     else:
         chunks = pa.Array.from_buffers(

@@ -25,16 +25,16 @@ def test_exact_dedup_join_strategy_small_skewed(ray_session):
     assert 1 in out_join  # min doc_id of the "same text" group
 
 
-def test_pack_u64_binary_overflow_promotes_to_large():
-    """>= 2 GiB payloads promote to large_binary (int64 offsets) instead of
-    wrapping int32 offsets or raising (r5: VERDICT next-round #7). The size
-    branch itself is exercised via force_large in test_robustness_r5."""
+def test_pack_u64_binary_always_large():
+    """Packed blobs are large_binary (int64 offsets) for EVERY block — immune
+    to the 2 GiB int32-offset wrap (r5: VERDICT next-round #7) without the
+    mixed binary/large_binary schemas a per-block size-triggered promotion
+    would hand downstream joins (r5 review)."""
     vals = np.arange(5, dtype=np.uint64)
     counts = np.array([2, 3], dtype=np.int64)
-    small = _pack_u64_binary(vals, counts)
-    assert small.type == pa.binary()
-    large = _pack_u64_binary(vals, counts, force_large=True)
-    assert large.type == pa.large_binary()
+    packed = _pack_u64_binary(vals, counts)
+    assert packed.type == pa.large_binary()
+    assert packed.to_pylist() == [vals[:2].tobytes(), vals[2:].tobytes()]
 
 
 def test_ngram_rotate_by_zero_guard():

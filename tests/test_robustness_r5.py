@@ -11,12 +11,12 @@ from raysketch.pipeline.dedup import _pack_u64_binary, _unpack_u64_binary
 
 
 def test_pack_u64_large_binary_roundtrip():
-    """force_large exercises the >= 2 GiB large_binary branch without a 2 GiB
-    allocation; _unpack_u64_binary reads int64 offsets identically."""
+    """_unpack_u64_binary reads the (always-large_binary) int64 offsets,
+    including through slices."""
     rng = np.random.default_rng(3)
     counts = rng.integers(0, 6, size=40).astype(np.int64)
     vals = rng.integers(0, 2**63, size=int(counts.sum())).astype(np.uint64)
-    packed = _pack_u64_binary(vals, counts, force_large=True)
+    packed = _pack_u64_binary(vals, counts)
     assert packed.type == pa.large_binary()
     v2, offs = _unpack_u64_binary(packed)
     np.testing.assert_array_equal(v2, vals)
