@@ -27,6 +27,56 @@ def test_distinct_rows_nan_keys_both_strategies(ray_session):
         assert int(np.isnan(out).sum()) == 1, strategy
 
 
+def test_distinct_float_nan_null_matches_duckdb(ray_session):
+    """Property: distinct_rows(strategy='sort') == DuckDB SELECT DISTINCT on
+    float keys mixing NaN, NULL, ±inf and finite values across blocks. Nulls
+    ride numpy's NaN path through the range partitioner while the per-block
+    Arrow sort separates them — this pins down that null-vs-NaN interleaving
+    never splits a key's run."""
+    import ray
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from raysketch.pipeline.relational import distinct_rows
+
+    pool = st.sampled_from(
+        [None, float("nan"), 0.0, 1.5, -2.25, float("inf"), float("-inf"), 3.0]
+    )
+
+    def norm(vals):
+        out = []
+        for v in vals:
+            if v is None:
+                out.append("null")
+            elif isinstance(v, float) and np.isnan(v):
+                out.append("nan")
+            else:
+                out.append(repr(float(v)))
+        return sorted(out)
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+    )
+    @given(
+        rows=st.lists(pool, min_size=1, max_size=50),
+        blocks=st.integers(min_value=1, max_value=4),
+    )
+    def check(rows, blocks):
+        t = pa.table({"x": pa.array(rows, pa.float64())})
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        got = pa.concat_tables(
+            distinct_rows(ds, ["x"], strategy="sort").iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        )
+        want = duckdb.sql("SELECT DISTINCT x FROM t").arrow()
+        assert norm(got.column("x").to_pylist()) == norm(want.column("x").to_pylist())
+
+    check()
+
+
 def test_key_counts_fallback_matches_fast_path(ray_session, monkeypatch):
     """Past _KEY_COUNT_DRIVER_BOUND partial rows, _key_counts abandons the
     driver-side bincount for the distributed groupby count — same (keys,
