@@ -28,8 +28,20 @@ def extract_text_array(html: pa.Array) -> pa.Array:
     n = len(html)
     if n == 0:
         return pa.array([], type=pa.string())
-    start_rel = pc.find_substring(html, _OPEN).to_numpy(zero_copy_only=False).astype(np.int64)
-    end_rel = pc.find_substring(html, _CLOSE).to_numpy(zero_copy_only=False).astype(np.int64)
+    # fill_null(-1) BEFORE the int cast: null html rows yield null positions,
+    # and to_numpy would surface them as NaN whose int64 cast is undefined
+    # (numpy RuntimeWarning; value happens to be INT64_MIN). -1 = "not found"
+    # routes nulls through the same empty-string branch as marker-less rows.
+    start_rel = (
+        pc.fill_null(pc.find_substring(html, _OPEN), -1)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    end_rel = (
+        pc.fill_null(pc.find_substring(html, _CLOSE), -1)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
     data, starts, lengths = column_spans(html)
     valid = (start_rel >= 0) & (end_rel > start_rel)
     s = np.where(valid, starts + start_rel + len(_OPEN), 0)
@@ -41,6 +53,13 @@ def extract_text_array(html: pa.Array) -> pa.Array:
     # ragged gather: out[j] spans data[s[j] : e[j]]
     idx = np.repeat(s, out_len) + (np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], out_len))
     buf = data[idx] if total else np.empty(0, dtype=np.uint8)
+    if total >= 2**31:
+        # int32 offsets would silently wrap (same guard as chunk_text_batch);
+        # a >2 GiB extracted-text batch means the block size is wrong upstream
+        raise ValueError(
+            f"extract_text_array: batch extracts {total} text bytes, past the "
+            "2 GiB utf8 offset limit — shrink the read/batch size"
+        )
     return pa.Array.from_buffers(
         pa.utf8(),
         n,

@@ -158,6 +158,21 @@ class TestNullTextTolerance:
             out = fn(t) if col == "html" else fn(t, col="text")
             assert out.num_rows == t.num_rows, fn.__name__
 
+    def test_extract_text_null_html_warning_free(self):
+        # null positions from find_substring must be filled BEFORE the int64
+        # cast — the NaN->int64 cast is undefined and warns (text.py fix, r5)
+        import warnings
+
+        from raysketch.pipeline.text import extract_text_array
+
+        html = pa.array(
+            [b"<p>hello</p>", None, b"no markers", None, b"<p></p>"], pa.binary()
+        )
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            out = extract_text_array(html)
+        assert out.to_pylist() == ["hello", "", "", "", ""]
+
     def test_exact_dedup_null_text(self, ray_session):
         import ray.data as rd
 
