@@ -26,6 +26,7 @@ import pyarrow.compute as pc
 import ray
 
 from raysketch.hashing import column_spans, xxh64_vec
+from raysketch.pipeline.contracts import require_non_null_ids
 
 _NGRAM_P = np.uint64(0x9E3779B185EBCA87)
 
@@ -599,6 +600,7 @@ def line_dedup(
     npart = _num_partitions()
 
     def explode(batch: pa.Table) -> pa.Table:
+        require_non_null_ids(batch, id_col, "line_dedup")
         lists, h = _split_line_hashes(batch, text_col, sep)
         offs = np.asarray(lists.offsets).astype(np.int64)
         d = np.diff(offs)

@@ -31,6 +31,7 @@ import numpy as np
 import pyarrow as pa
 
 from raysketch.hashing import hash_column, xxh64_vec
+from raysketch.pipeline.contracts import require_non_null_ids
 
 _MERSENNE61 = np.uint64((1 << 61) - 1)
 
@@ -90,6 +91,7 @@ def exact_dedup(
     ~10⁹ docs; use a 128-bit fingerprint pair beyond that."""
 
     def add_fp(batch: pa.Table) -> pa.Table:
+        require_non_null_ids(batch, id_col, "exact_dedup")
         h = hash_column(batch.column(text_col).combine_chunks(), algo="xxh64", seed=0)
         return pa.table(
             {"__fp": pa.array(h.astype(np.int64)), id_col: batch.column(id_col)}
@@ -1007,6 +1009,7 @@ def minhash_lsh_dedup(
     affects recall but never precision."""
 
     def bandrows(batch: pa.Table) -> pa.Table:
+        require_non_null_ids(batch, id_col, "minhash_lsh_dedup")
         texts = batch.column(text_col).combine_chunks()
         ids = np.asarray(batch.column(id_col))
         h, offs = _word_shingle_hashes(texts, shingle_k)
@@ -1135,6 +1138,7 @@ def jaccard_ngram_dedup(
     boilerplate-dominated docs is capped, same policy as the LSH path."""
 
     def prefixrows(batch: pa.Table) -> pa.Table:
+        require_non_null_ids(batch, id_col, "jaccard_ngram_dedup")
         texts = batch.column(text_col).combine_chunks()
         ids = np.asarray(batch.column(id_col))
         h, offs = _word_shingle_hashes(texts, shingle_k)
@@ -1255,6 +1259,7 @@ def simhash_dedup(
     clustering — no driver funnel at any stage."""
 
     def bandrows(batch: pa.Table) -> pa.Table:
+        require_non_null_ids(batch, id_col, "simhash_dedup")
         texts = batch.column(text_col).combine_chunks()
         ids = np.asarray(batch.column(id_col))
         fp = simhash64(texts, seed)
@@ -1369,6 +1374,7 @@ def embedding_cosine_dedup(
             for b in range(n_planes):
                 k |= signs[:, bd * n_planes + b].astype(np.int64) << b
             keys[:, bd] = k | (np.int64(bd + 1) << np.int64(48))
+        require_non_null_ids(batch, id_col, "embedding_cosine_dedup")
         ids = np.asarray(batch.column(id_col))
         return pa.table(
             {"key": pa.array(keys.ravel()), id_col: pa.array(np.repeat(ids, bands))}

@@ -19,6 +19,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from raysketch.pipeline.contracts import require_non_null_ids
+
 # Fibonacci-hash scramble for rank_by="hash": multiplication by an odd
 # constant is a BIJECTION on Z/2^64 (distinct ids -> distinct ranks, no
 # tie-break needed), decorrelates rank from id order, and is SQL-stateable.
@@ -107,6 +109,7 @@ def pack_sequences(
     def block_sum(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return pa.table({"m": pa.array([], pa.int64()), "s": pa.array([], pa.int64())})
+        require_non_null_ids(t, id_col, "pack_sequences")
         ids = np.asarray(t.column(id_col))
         n = np.asarray(t.column(token_col), dtype=np.int64)
         return pa.table(

@@ -1,0 +1,146 @@
+"""Null-id contract: id columns must be non-null, enforced loudly.
+
+The r5 audit found that a null int64 id silently float64-converts under
+``np.asarray`` inside the first batch kernel, drifting the band-row schema and
+dropping docs from clusters (minhash returned 4 of 5 docs), while
+pack_sequences died with a cryptic numpy error deep in a Ray task. Every
+id-consuming pipeline now raises the contracts.require_non_null_ids error at
+first touch instead. Null *text*/*html* stays tolerated (the pinned null ≡ ""
+convention — test_robustness_r5).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+
+def _docs_with_null_id():
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, None, 4, 5], pa.int64()),
+                "text": pa.array(["aa bb cc dd ee ff gg hh"] * 5),
+            }
+        )
+    )
+
+
+def _expect_contract_error(fn, op):
+    with pytest.raises(Exception, match=f"{op}: id column 'doc_id' contains nulls"):
+        fn()
+
+
+def test_exact_dedup_null_id(ray_session):
+    from raysketch.pipeline.dedup import exact_dedup
+
+    _expect_contract_error(lambda: exact_dedup(_docs_with_null_id()).count(), "exact_dedup")
+
+
+def test_minhash_null_id(ray_session):
+    from raysketch.pipeline.dedup import minhash_lsh_dedup
+
+    _expect_contract_error(
+        lambda: minhash_lsh_dedup(_docs_with_null_id()).num_rows, "minhash_lsh_dedup"
+    )
+
+
+def test_jaccard_null_id(ray_session):
+    from raysketch.pipeline.dedup import jaccard_ngram_dedup
+
+    _expect_contract_error(
+        lambda: jaccard_ngram_dedup(_docs_with_null_id()).num_rows, "jaccard_ngram_dedup"
+    )
+
+
+def test_simhash_null_id(ray_session):
+    from raysketch.pipeline.dedup import simhash_dedup
+
+    _expect_contract_error(
+        lambda: simhash_dedup(_docs_with_null_id()).num_rows, "simhash_dedup"
+    )
+
+
+def test_embedding_dedup_null_id(ray_session):
+    import numpy as np
+
+    from raysketch.pipeline.dedup import embedding_cosine_dedup
+
+    emb = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, None, 3], pa.int64()),
+                "embedding": pa.array(
+                    [np.ones(8, np.float64) for _ in range(3)],
+                    pa.list_(pa.float64()),
+                ),
+            }
+        )
+    )
+    _expect_contract_error(
+        lambda: embedding_cosine_dedup(emb, id_col="doc_id").num_rows,
+        "embedding_cosine_dedup",
+    )
+
+
+def test_line_dedup_null_id_both_regimes(ray_session):
+    # the guard fires at first id CONSUMPTION. line_dedup's broadcast regime
+    # never consumes ids (hot-line drop is an in-batch hash probe over text),
+    # so null ids flow through CORRECTLY there; the join regime explodes
+    # (id, line_no) rows, so it raises the contract error.
+    from raysketch.pipeline.decontam import line_dedup
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, None, 4, 5], pa.int64()),
+                "text": pa.array([f"unique line {i}\nhot shared line" for i in range(5)]),
+            }
+        )
+    )
+    out = pa.concat_tables(
+        b
+        for b in line_dedup(docs, id_col="doc_id", min_docs=2).iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    # broadcast regime: hot line stripped from every doc, null id preserved
+    assert out.column("doc_id").null_count == 1
+    assert all(v == 1 for v in out.column("n_removed").to_pylist())
+    _expect_contract_error(
+        lambda: line_dedup(docs, id_col="doc_id", min_docs=2, hot_switch=0).count(),
+        "line_dedup",
+    )
+
+
+def test_pack_sequences_null_id(ray_session):
+    from raysketch.pipeline.export import pack_sequences
+
+    toks = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, None, 3], pa.int64()),
+                "n_tokens": pa.array([5, 5, 5], pa.int64()),
+            }
+        )
+    )
+    _expect_contract_error(
+        lambda: pack_sequences(toks, id_col="doc_id", token_col="n_tokens", budget=8).count(),
+        "pack_sequences",
+    )
+
+
+def test_non_null_ids_unaffected(ray_session):
+    # the guard is metadata-only; clean inputs flow exactly as before
+    from raysketch.pipeline.dedup import exact_dedup
+
+    clean = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "text": pa.array(["aa bb cc dd ee ff gg hh"] * 5),
+            }
+        )
+    )
+    assert exact_dedup(clean).count() == 1
