@@ -238,9 +238,12 @@ def decontaminate(
         hits = _in_sorted(bs, hd)
         overlap = np.bincount(dd[hits], minlength=batch.num_rows).astype(np.int64)
         keep = overlap >= min_overlap
+        # Arrow filter, not np.asarray[mask]: preserves the id column's exact
+        # type (a null int64 id would float64-convert to NaN under numpy,
+        # drifting the output schema to double — r5 null-id audit)
         return pa.table(
             {
-                id_col: np.asarray(batch.column(id_col))[keep],
+                id_col: batch.column(id_col).combine_chunks().filter(pa.array(keep)),
                 "overlap_ngrams": overlap[keep],
             }
         )
@@ -432,9 +435,10 @@ def dup_span_stats(
             m = _in_sorted(dsr, h)
             ndup = np.bincount(doc[m], minlength=batch.num_rows).astype(np.int64)
             keep = nwin > 0
+            # Arrow filter preserves the id type (see decontaminate.probe)
             return pa.table(
                 {
-                    id_col: np.asarray(batch.column(id_col))[keep],
+                    id_col: batch.column(id_col).combine_chunks().filter(pa.array(keep)),
                     "n_windows": nwin[keep],
                     "n_dup_windows": ndup[keep],
                 }
@@ -443,6 +447,9 @@ def dup_span_stats(
         return docs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
 
     def occ_partial(batch: pa.Table) -> pa.Table:
+        # the join regime GROUPS by id (np.unique in reagg), where a null id
+        # would corrupt — the broadcast regime above stays null-tolerant
+        require_non_null_ids(batch, id_col, "dup_span_stats")
         h, doc, nwin = _char_window_hashes(batch.column(text_col), window)
         order = np.lexsort((h, doc))
         hs, ds_ = h[order], doc[order]

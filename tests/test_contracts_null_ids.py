@@ -144,3 +144,55 @@ def test_non_null_ids_unaffected(ray_session):
         )
     )
     assert exact_dedup(clean).count() == 1
+
+
+def test_decontaminate_null_id_tolerant(ray_session):
+    # decontaminate is a pure row-selection — null ids must survive with the
+    # id column's exact Arrow type (the np.asarray path drifted it to double)
+    from raysketch.pipeline.decontam import decontaminate
+
+    docs = _docs_with_null_id()
+    bench = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([100], pa.int64()),
+                "text": pa.array(["aa bb cc dd ee ff gg hh"]),
+            }
+        )
+    )
+    out = pa.concat_tables(
+        b
+        for b in decontaminate(
+            docs, bench, text_col="text", id_col="doc_id", n=4, min_overlap=1
+        ).iter_batches(batch_format="pyarrow")
+    )
+    assert out.schema.field("doc_id").type == pa.int64()
+    assert out.column("doc_id").null_count == 1
+    assert out.num_rows == 5
+
+
+def test_dup_span_stats_null_id_both_regimes(ray_session):
+    from raysketch.pipeline.decontam import dup_span_stats
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, None, 3], pa.int64()),
+                "text": pa.array(["the same twenty-char span repeats here"] * 3),
+            }
+        )
+    )
+    # broadcast regime: row-selection, null id survives type-exact
+    out = pa.concat_tables(
+        b
+        for b in dup_span_stats(docs, id_col="doc_id").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    assert out.schema.field("doc_id").type == pa.int64()
+    assert out.column("doc_id").null_count == 1
+    # join regime groups by id -> contract error
+    _expect_contract_error(
+        lambda: dup_span_stats(docs, id_col="doc_id", dup_switch=0).count(),
+        "dup_span_stats",
+    )
