@@ -26,6 +26,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from raysketch.pipeline.contracts import require_non_null_ids
+
 
 def _shard_file(out_dir: str, sid: int) -> str:
     return os.path.join(out_dir, f"part-{sid:05d}.parquet")
@@ -90,6 +92,11 @@ def write_corpus_shards(
 
     def shard_of(batch: pa.Table) -> np.ndarray:
         if shard_fn == "mod":
+            # a null int64 key would float64-convert to NaN whose int64 cast
+            # is platform-defined — nondeterministic routing breaks the resume
+            # contract (shard membership must be stable across runs). "hash"
+            # routes nulls deterministically (hash_column hashes null as "").
+            require_non_null_ids(batch, key_col, "write_corpus_shards[mod]")
             keys = np.asarray(batch.column(key_col))
             return (keys % num_shards).astype(np.int64)
         h = hash_column(batch.column(key_col).combine_chunks(), algo="xxh64", seed=0)

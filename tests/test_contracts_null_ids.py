@@ -196,3 +196,29 @@ def test_dup_span_stats_null_id_both_regimes(ray_session):
         lambda: dup_span_stats(docs, id_col="doc_id", dup_switch=0).count(),
         "dup_span_stats",
     )
+
+
+def test_write_corpus_shards_null_key(ray_session, tmp_path):
+    # "mod" routing of a null key is platform-defined (NaN -> int64 cast) and
+    # would break resume determinism -> contract error; "hash" routes nulls
+    # deterministically (hash_column hashes null as "") and must succeed.
+    import pyarrow.parquet as pq
+
+    from raysketch.io.shards import write_corpus_shards
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, None, 4], pa.int64()),
+                "text": pa.array(["x"] * 4),
+            }
+        )
+    )
+    with pytest.raises(Exception, match="write_corpus_shards\\[mod\\]: id column"):
+        write_corpus_shards(docs, str(tmp_path / "mod"), key_col="doc_id", num_shards=4)
+    out = tmp_path / "hashed"
+    write_corpus_shards(
+        docs, str(out), key_col="doc_id", num_shards=4, shard_fn="hash"
+    )
+    rows = sum(pq.read_table(str(f)).num_rows for f in out.glob("part-*.parquet"))
+    assert rows == 4
