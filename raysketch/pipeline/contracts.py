@@ -17,6 +17,18 @@ from __future__ import annotations
 import pyarrow as pa
 
 
+def require_non_null(batch: pa.Table, col: str, op: str) -> None:
+    """Generic non-null column contract (grouping keys, timestamps): raise a
+    clear error instead of the cryptic numpy failure a null would cause deep
+    inside the vectorized kernel (object-array lexsort ``None < str``,
+    NaT→float casts). Same zero-cost ``null_count`` metadata read."""
+    if batch.column(col).null_count:
+        raise ValueError(
+            f"{op}: column {col!r} contains nulls — fill_null or filter null "
+            "rows first (the vectorized kernel cannot order/window null values)."
+        )
+
+
 def require_non_null_ids(batch: pa.Table, col: str, op: str) -> None:
     """Raise a clear contract error when the id column ``col`` carries nulls.
 

@@ -15,6 +15,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from raysketch.pipeline.contracts import require_non_null
+
 _UNIT_DIV = {"s": 1, "ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}
 
 
@@ -46,6 +48,8 @@ def tumbling_window_agg(
         # text._segment_dup_stats) — no Arrow→pandas conversion, no pandas
         # groupby per batch
         n = batch.num_rows
+        require_non_null(batch, ts_col, "tumbling_window_agg")
+        require_non_null(batch, key_col, "tumbling_window_agg")
         epoch = _epoch_seconds(batch.column(ts_col))
         window = (epoch // window_s) * window_s
         keys = np.asarray(batch.column(key_col).combine_chunks())
@@ -107,6 +111,8 @@ def sliding_window_agg(
     fan = window_s // slide_s
 
     def partial(batch: pa.Table) -> pa.Table:
+        require_non_null(batch, ts_col, "sliding_window_agg")
+        require_non_null(batch, key_col, "sliding_window_agg")
         epoch = _epoch_seconds(batch.column(ts_col))
         keys = np.asarray(batch.column(key_col).combine_chunks())
         vals = batch.column(value_col).combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
@@ -186,6 +192,8 @@ def asof_join(
 
     def prep_left(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
+        require_non_null(batch, ts_col, "asof_join(left)")
+        require_non_null(batch, key_col, "asof_join(left)")
         return pa.table(
             {
                 "__key": batch.column(key_col),
@@ -198,6 +206,8 @@ def asof_join(
 
     def prep_right(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
+        require_non_null(batch, ts_col, "asof_join(right)")
+        require_non_null(batch, key_col, "asof_join(right)")
         return pa.table(
             {
                 "__key": batch.column(key_col),
@@ -293,6 +303,8 @@ def range_join(
 
     def prep_left(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
+        require_non_null(batch, ts_col, "range_join(left)")
+        require_non_null(batch, key_col, "range_join(left)")
         return pa.table(
             {
                 "__key": batch.column(key_col),
@@ -305,6 +317,8 @@ def range_join(
 
     def prep_right(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
+        require_non_null(batch, ts_col, "range_join(right)")
+        require_non_null(batch, key_col, "range_join(right)")
         return pa.table(
             {
                 "__key": batch.column(key_col),
@@ -409,6 +423,8 @@ def sessionize(
     from ray.data.context import ShuffleStrategy
 
     def prep(batch: pa.Table) -> pa.Table:
+        require_non_null(batch, ts_col, "sessionize")
+        require_non_null(batch, key_col, "sessionize")
         return pa.table(
             {
                 key_col: batch.column(key_col),

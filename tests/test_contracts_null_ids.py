@@ -222,3 +222,48 @@ def test_write_corpus_shards_null_key(ray_session, tmp_path):
     )
     rows = sum(pq.read_table(str(f)).num_rows for f in out.glob("part-*.parquet"))
     assert rows == 4
+
+
+def test_window_ops_null_ts_clear_error(ray_session):
+    # windows/joins cannot order null timestamps or keys — the old failure was
+    # a cryptic numpy cast error deep in a Ray task; now a contract error
+    from raysketch.pipeline.events import sessionize, tumbling_window_agg
+
+    ev = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([1, 1, None, 2], pa.int64()),
+                "ts": pa.array([1_000_000, 2_000_000, None, 4_000_000], pa.timestamp("us")),
+                "value": pa.array([1.0, 2.0, 3.0, 4.0]),
+                "event_type": pa.array(["a", "a", None, "b"]),
+            }
+        )
+    )
+    with pytest.raises(Exception, match="tumbling_window_agg: column 'ts' contains nulls"):
+        tumbling_window_agg(ev, window_s=3600).count()
+    with pytest.raises(Exception, match="sessionize: column 'ts' contains nulls"):
+        sessionize(ev, ts_col="ts", key_col="user_id", gap_s=60).count()
+
+
+def test_top_k_per_group_null_group_tolerant(ray_session):
+    # null keys form their own group (SQL PARTITION BY semantics) and the id
+    # type survives — pinned so the Arrow-native path never regresses to numpy
+    from raysketch.pipeline.relational import top_k_per_group
+
+    ev = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([1, 1, None, 2], pa.int64()),
+                "value": pa.array([1.0, 2.0, 3.0, 4.0]),
+            }
+        )
+    )
+    out = pa.concat_tables(
+        b
+        for b in top_k_per_group(ev, "user_id", "value", 1).iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    assert out.schema.field("user_id").type == pa.int64()
+    got = {(None if u is None else u): v for u, v in zip(out.column("user_id").to_pylist(), out.column("value").to_pylist())}
+    assert got == {1: 2.0, 2: 4.0, None: 3.0}
