@@ -1326,6 +1326,13 @@ def embedding_matrix(col) -> np.ndarray:
     the flat values buffer (fixed-length lists)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if col.null_count:
+        # a null list cell is a zero-length span — it would trip the
+        # fixed-length check below with a misleading message
+        raise ValueError(
+            "embedding column contains null cells — drop or impute null "
+            "embeddings before the ANN/dedup stage"
+        )
     values = np.asarray(col.values)
     offs = np.asarray(col.offsets)
     widths = np.diff(offs)

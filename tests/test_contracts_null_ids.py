@@ -267,3 +267,18 @@ def test_top_k_per_group_null_group_tolerant(ray_session):
     assert out.schema.field("user_id").type == pa.int64()
     got = {(None if u is None else u): v for u, v in zip(out.column("user_id").to_pylist(), out.column("value").to_pylist())}
     assert got == {1: 2.0, 2: 4.0, None: 3.0}
+
+
+def test_embedding_matrix_null_cell_clear_error():
+    # a null list cell is a zero-length span; the old error blamed
+    # "fixed-length" — now the message names the null
+    import numpy as np
+
+    from raysketch.pipeline.dedup import embedding_matrix
+
+    col = pa.array([[1.0] * 4, None, [2.0] * 4], pa.list_(pa.float64()))
+    with pytest.raises(ValueError, match="contains null cells"):
+        embedding_matrix(col)
+    clean = pa.array([[1.0] * 4, [2.0] * 4], pa.list_(pa.float64()))
+    m = embedding_matrix(clean)
+    assert m.shape == (2, 4) and m[1, 0] == 2.0
