@@ -592,11 +592,18 @@ def chunk_text_batch(
 ) -> pa.Table:
     """Overlapping-window document chunking (the RAG/embedding-pipeline
     pre-pass): one chunk per window start ``k*stride < len(text)``, each
-    ``chunk_size`` bytes (byte == char on ASCII corpora — stated so the SQL
-    ``substring`` oracle matches; multi-byte text would need codepoint
-    slicing). Zero-length docs emit no chunks. Fully vectorized: per-doc
-    window counts, one ``np.repeat`` fan-out and one ragged byte gather —
-    the ``extract_text_array`` pattern.
+    ``chunk_size`` bytes, with both chunk boundaries SNAPPED BACK to UTF-8
+    codepoint starts (a continuation byte is ``(b & 0xC0) == 0x80``; ≤3
+    vectorized snap steps) so every emitted chunk is valid UTF-8 — without
+    snapping, a boundary cutting a multi-byte character emits bytes that
+    ``pa.Array.from_buffers`` accepts unvalidated and that explode with
+    UnicodeDecodeError on first read. On pure-ASCII text the snap is a
+    bitwise no-op, so the SQL ``substring`` oracle still matches byte==char;
+    on multibyte text ``start_off`` reports the snapped byte offset and no
+    byte is lost (the straddling codepoint moves whole into the next chunk).
+    Zero-length docs emit no chunks. Fully vectorized: per-doc window
+    counts, one ``np.repeat`` fan-out and one ragged byte gather — the
+    ``extract_text_array`` pattern.
 
     ``large=False`` (default) emits utf8 and raises past the 2 GiB
     int32-offset limit; ``large=True`` emits large_utf8 (int64 offsets) for
@@ -625,8 +632,22 @@ def chunk_text_batch(
     np.cumsum(n_chunks, out=bounds[1:])
     chunk_idx = np.arange(total, dtype=np.int64) - np.repeat(bounds[:-1], n_chunks)
     start_off = chunk_idx * stride
-    clen = np.minimum(chunk_size, lengths[doc_idx] - start_off)
-    abs_start = starts[doc_idx] + start_off
+    doc_start = starts[doc_idx]
+    doc_end = doc_start + lengths[doc_idx]
+    abs_start = doc_start + start_off
+    abs_end = doc_start + np.minimum(start_off + chunk_size, lengths[doc_idx])
+    # snap both boundaries BACK to codepoint starts (≤3 continuation bytes per
+    # UTF-8 char). A boundary at position p is valid iff data[p] is not a
+    # continuation byte or p == doc_end; doc_start is always valid.
+    if len(data):
+        is_cont = (data & 0xC0) == 0x80
+        for _ in range(3):
+            mv = (abs_start > doc_start) & is_cont[np.minimum(abs_start, len(data) - 1)]
+            abs_start -= mv
+            mv = (abs_end < doc_end) & is_cont[np.minimum(abs_end, len(data) - 1)]
+            abs_end -= mv
+    start_off = abs_start - doc_start
+    clen = abs_end - abs_start
     offsets = np.zeros(total + 1, dtype=np.int64)
     np.cumsum(clen, out=offsets[1:])
     grand = int(offsets[-1])

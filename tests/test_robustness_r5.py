@@ -263,3 +263,48 @@ class TestCoalesceOverblocked:
             .materialize()
         )
         assert _coalesce_overblocked(ds, n) is ds
+
+
+class TestChunkTextMultibyte:
+    """Chunk boundaries snap back to UTF-8 codepoint starts: every chunk is
+    valid UTF-8 (the unsnapped gather emitted bytes that exploded with
+    UnicodeDecodeError on first read), non-overlapping chunks reassemble to
+    the original text exactly (no byte lost — the straddling codepoint moves
+    whole into the next chunk), and pure-ASCII output is bitwise unchanged
+    (the SQL substring oracle's byte==char contract)."""
+
+    def test_multibyte_chunks_valid_and_lossless(self):
+        from collections import defaultdict
+
+        import pyarrow as pa
+
+        from raysketch.pipeline.text import chunk_text_batch
+
+        texts = ["é" * 10, "abc😀def✓gh" * 3, "plain ascii " * 4, "", "x"]
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+        out = chunk_text_batch(t, chunk_size=5, stride=5)
+        rebuilt = defaultdict(str)
+        for did, s in zip(
+            out.column("doc_id").to_pylist(), out.column("chunk_text").to_pylist()
+        ):
+            s.encode("utf-8")  # raises if the chunk were cut mid-codepoint
+            rebuilt[did] += s
+        for i, txt in enumerate(texts):
+            assert rebuilt.get(i, "") == txt
+
+    def test_ascii_bitwise_unchanged(self):
+        import pyarrow as pa
+
+        from raysketch.pipeline.text import chunk_text_batch
+
+        t = pa.table(
+            {"doc_id": pa.array([7], pa.int64()), "text": pa.array(["abcdefghij"])}
+        )
+        out = chunk_text_batch(t, chunk_size=4, stride=3)
+        assert out.column("chunk_text").to_pylist() == ["abcd", "defg", "ghij", "j"]
+        assert out.column("start_off").to_pylist() == [0, 3, 6, 9]
