@@ -646,6 +646,22 @@ def chunk_text_batch(
             abs_start -= mv
             mv = (abs_end < doc_end) & is_cont[np.minimum(abs_end, len(data) - 1)]
             abs_end -= mv
+    # degenerate geometry (stride < codepoint width, only possible when
+    # stride <= 3): consecutive raw starts can snap to the SAME position —
+    # keep the last chunk of each equal-start run (it has the largest end)
+    if total > 1:
+        dup = np.zeros(total, dtype=bool)
+        dup[:-1] = (doc_idx[:-1] == doc_idx[1:]) & (abs_start[:-1] == abs_start[1:])
+        if dup.any():
+            keep = ~dup
+            doc_idx, abs_start, abs_end = doc_idx[keep], abs_start[keep], abs_end[keep]
+            doc_start = doc_start[keep]
+            total = int(keep.sum())
+            first = np.ones(total, dtype=bool)
+            first[1:] = doc_idx[1:] != doc_idx[:-1]
+            seg = np.nonzero(first)[0]
+            counts = np.diff(np.append(seg, total))
+            chunk_idx = np.arange(total, dtype=np.int64) - np.repeat(seg, counts)
     start_off = abs_start - doc_start
     clen = abs_end - abs_start
     offsets = np.zeros(total + 1, dtype=np.int64)

@@ -308,3 +308,45 @@ class TestChunkTextMultibyte:
         out = chunk_text_batch(t, chunk_size=4, stride=3)
         assert out.column("chunk_text").to_pylist() == ["abcd", "defg", "ghij", "j"]
         assert out.column("start_off").to_pylist() == [0, 3, 6, 9]
+
+    def test_fuzz_random_unicode(self):
+        # seeded fuzz: random multibyte strings x random chunk geometries;
+        # every chunk valid UTF-8, overlap-agnostic coverage (every byte of
+        # the original appears in at least one chunk), start_offs strictly
+        # increasing per doc
+        import random
+
+        import pyarrow as pa
+
+        from raysketch.pipeline.text import chunk_text_batch
+
+        rng = random.Random(42)
+        alphabet = "aé✓😀 \n字ß"
+        for trial in range(20):
+            texts = [
+                "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 40)))
+                for _ in range(8)
+            ]
+            chunk = rng.randrange(4, 12)
+            stride = rng.randrange(max(1, chunk // 2), chunk + 1)
+            t = pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts),
+                }
+            )
+            out = chunk_text_batch(t, chunk_size=chunk, stride=stride)
+            per_doc_offs = {}
+            covered = {i: set() for i in range(len(texts))}
+            for did, off, s in zip(
+                out.column("doc_id").to_pylist(),
+                out.column("start_off").to_pylist(),
+                out.column("chunk_text").to_pylist(),
+            ):
+                b = s.encode("utf-8")  # validity
+                assert per_doc_offs.get(did, -1) < off  # strictly increasing
+                per_doc_offs[did] = off
+                covered[did].update(range(off, off + len(b)))
+            for i, txt in enumerate(texts):
+                nb = len(txt.encode("utf-8"))
+                assert covered[i] == set(range(nb)), (trial, i)
