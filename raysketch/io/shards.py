@@ -26,7 +26,6 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from raysketch.pipeline.contracts import require_non_null_ids
 
 
 def _shard_file(out_dir: str, sid: int) -> str:
@@ -94,9 +93,15 @@ def write_corpus_shards(
         if shard_fn == "mod":
             # a null int64 key would float64-convert to NaN whose int64 cast
             # is platform-defined — nondeterministic routing breaks the resume
-            # contract (shard membership must be stable across runs). "hash"
-            # routes nulls deterministically (hash_column hashes null as "").
-            require_non_null_ids(batch, key_col, "write_corpus_shards[mod]")
+            # contract (shard membership must be stable across runs).
+            if batch.column(key_col).null_count:
+                raise ValueError(
+                    f"write_corpus_shards[mod]: key column {key_col!r} "
+                    "contains nulls — NaN→int64 routing is platform-defined "
+                    "and would break resume determinism. Use "
+                    "shard_fn='hash' (routes nulls deterministically, "
+                    "hashing null as the empty string) or fill_null first."
+                )
             keys = np.asarray(batch.column(key_col))
             return (keys % num_shards).astype(np.int64)
         h = hash_column(batch.column(key_col).combine_chunks(), algo="xxh64", seed=0)

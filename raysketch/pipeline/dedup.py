@@ -1371,6 +1371,7 @@ def embedding_cosine_dedup(
     emitter either way."""
 
     def bucket(batch: pa.Table) -> pa.Table:
+        require_non_null_ids(batch, id_col, "embedding_cosine_dedup")
         V = embedding_matrix(batch.column(emb_col)).astype(np.float64)
         d = V.shape[1]
         P = np.random.default_rng(seed).normal(size=(d, n_planes * bands))
@@ -1381,7 +1382,6 @@ def embedding_cosine_dedup(
             for b in range(n_planes):
                 k |= signs[:, bd * n_planes + b].astype(np.int64) << b
             keys[:, bd] = k | (np.int64(bd + 1) << np.int64(48))
-        require_non_null_ids(batch, id_col, "embedding_cosine_dedup")
         ids = np.asarray(batch.column(id_col))
         return pa.table(
             {"key": pa.array(keys.ravel()), id_col: pa.array(np.repeat(ids, bands))}

@@ -307,6 +307,11 @@ def _rank_select(narrow, key_col: str, id_col: str, qmap_ref, rank_by: str = "id
                 "fill_null to a sentinel stratum first"
             )
         k = np.asarray(kcol)
+        # ordering by id: a null int64 id would float64-convert (NaN ranks
+        # sort last and ids past 2^53 collide, silently diverging from the
+        # SQL oracle) — and under rank_by='hash' produce a misleading
+        # "got dtype float64" error for a column that IS int64
+        require_non_null_ids(batch, id_col, "stratified_sample")
         ids = np.asarray(batch.column(id_col))
         perm = np.lexsort((_rank_keys(ids, rank_by), k))
         ks = k[perm]

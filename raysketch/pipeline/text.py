@@ -15,6 +15,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from raysketch.hashing import column_spans, hash_column
+from raysketch.pipeline.contracts import require_non_null_ids
 
 _OPEN = b"<p>"
 _CLOSE = b"</p>"
@@ -367,6 +368,9 @@ def rare_token_stats(
     # left_outer-join the pre-thresholded common table (df null → rare),
     # re-aggregate per doc
     def occ_partial(batch: pa.Table) -> pa.Table:
+        # the join regime GROUPS by id downstream (np.unique in reagg) — the
+        # broadcast regime above never consumes ids and stays null-tolerant
+        require_non_null_ids(batch, id_col, "rare_token_stats")
         _, th, offs = _doc_tokens(batch.column(text_col))
         n_tokens = np.diff(offs)
         doc = np.repeat(np.arange(len(offs) - 1, dtype=np.int64), n_tokens)
@@ -610,11 +614,21 @@ def chunk_text_batch(
     EVERY batch. The type must be chosen up front, not promoted per batch —
     a size-triggered per-batch promotion would mix utf8/large_utf8 blocks
     in one column and break schema unification exactly when it fires."""
+    if chunk_size < 4:
+        # both boundaries of a chunk narrower than one UTF-8 codepoint
+        # (max 4 bytes) can snap into the same character, silently emitting
+        # empty chunks and LOSING the document bytes
+        raise ValueError(
+            f"chunk_text_batch: chunk_size must be >= 4 bytes (one UTF-8 "
+            f"codepoint); got {chunk_size}"
+        )
     chunk_type = pa.large_utf8() if large else pa.utf8()
     text = batch.column(col)
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
-    ids = np.asarray(batch.column(id_col))
+    id_arr = batch.column(id_col)
+    if isinstance(id_arr, pa.ChunkedArray):
+        id_arr = id_arr.combine_chunks()
     data, starts, lengths = column_spans(text)
     n_chunks = np.where(lengths > 0, (lengths + stride - 1) // stride, 0).astype(np.int64)
     total = int(n_chunks.sum())
@@ -627,8 +641,8 @@ def chunk_text_batch(
                 "chunk_text": pa.array([], chunk_type),
             }
         )
-    doc_idx = np.repeat(np.arange(len(ids), dtype=np.int64), n_chunks)
-    bounds = np.zeros(len(ids) + 1, dtype=np.int64)
+    doc_idx = np.repeat(np.arange(len(id_arr), dtype=np.int64), n_chunks)
+    bounds = np.zeros(len(id_arr) + 1, dtype=np.int64)
     np.cumsum(n_chunks, out=bounds[1:])
     chunk_idx = np.arange(total, dtype=np.int64) - np.repeat(bounds[:-1], n_chunks)
     start_off = chunk_idx * stride
@@ -694,7 +708,9 @@ def chunk_text_batch(
         )
     return pa.table(
         {
-            id_col: pa.array(ids[doc_idx]),
+            # Arrow take, not numpy gather: preserves the id column's exact
+            # type (null int64 ids would float64-convert — r5 audit)
+            id_col: id_arr.take(pa.array(doc_idx)),
             "chunk_idx": pa.array(chunk_idx),
             "start_off": pa.array(start_off),
             "chunk_text": chunks,

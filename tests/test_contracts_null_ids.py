@@ -214,7 +214,7 @@ def test_write_corpus_shards_null_key(ray_session, tmp_path):
             }
         )
     )
-    with pytest.raises(Exception, match="write_corpus_shards\\[mod\\]: id column"):
+    with pytest.raises(Exception, match="write_corpus_shards\\[mod\\]: key column"):
         write_corpus_shards(docs, str(tmp_path / "mod"), key_col="doc_id", num_shards=4)
     out = tmp_path / "hashed"
     write_corpus_shards(
@@ -282,3 +282,72 @@ def test_embedding_matrix_null_cell_clear_error():
     clean = pa.array([[1.0] * 4, [2.0] * 4], pa.list_(pa.float64()))
     m = embedding_matrix(clean)
     assert m.shape == (2, 4) and m[1, 0] == 2.0
+
+
+def test_chunk_text_null_id_tolerant():
+    # chunk_text is a pure fan-out — null ids survive with the exact Arrow
+    # type (the numpy gather drifted the column to double/NaN)
+    from raysketch.pipeline.text import chunk_text_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, None], pa.int64()),
+            "text": pa.array(["abcdefgh", "ijklmnop"]),
+        }
+    )
+    out = chunk_text_batch(t, chunk_size=4, stride=4)
+    assert out.schema.field("doc_id").type == pa.int64()
+    assert out.column("doc_id").to_pylist() == [1, 1, None, None]
+
+
+def test_chunk_text_rejects_sub_codepoint_chunk_size():
+    # chunk_size < 4 can snap both boundaries into one codepoint and silently
+    # lose the document bytes
+    from raysketch.pipeline.text import chunk_text_batch
+
+    t = pa.table({"doc_id": pa.array([1], pa.int64()), "text": pa.array(["😀😀"])})
+    with pytest.raises(ValueError, match="chunk_size must be >= 4"):
+        chunk_text_batch(t, chunk_size=2, stride=4)
+
+
+def test_stratified_sample_null_id_contract(ray_session):
+    from raysketch.pipeline.export import stratified_sample
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, None, 3, 4], pa.int64()),
+                "lang": pa.array(["en"] * 4),
+            }
+        )
+    )
+    with pytest.raises(Exception, match="stratified_sample: id column 'doc_id' contains nulls"):
+        stratified_sample(
+            docs, key_col="lang", id_col="doc_id", quotas={"en": 2}
+        ).count()
+
+
+def test_rare_token_stats_null_id_both_regimes(ray_session):
+    from raysketch.pipeline.text import rare_token_stats
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, None, 4, 5], pa.int64()),
+                "text": pa.array(["aa bb cc dd ee ff gg hh"] * 5),
+            }
+        )
+    )
+    # broadcast regime never consumes ids — null survives type-exact
+    out = pa.concat_tables(
+        b
+        for b in rare_token_stats(docs, id_col="doc_id").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    assert out.schema.field("doc_id").type == pa.int64()
+    assert out.column("doc_id").null_count == 1
+    # join regime groups by id -> contract error (min_df=2 makes every token
+    # common so the common set is non-empty and exceeds common_switch=0)
+    with pytest.raises(Exception, match="rare_token_stats: id column"):
+        rare_token_stats(docs, id_col="doc_id", min_df=2, common_switch=0).count()
