@@ -148,9 +148,29 @@ def run_chain(rows: int = 200_000, budget: int = 2048, num_files: int = 32):
 
     # ---- 5. benchmark decontamination ---------------------------------------
     # benchmark set: a deterministic 200-doc slice of the corpus itself, so
-    # overlap is guaranteed (every bench doc contaminates at least itself)
+    # overlap is guaranteed (every bench doc contaminates at least itself).
+    # Selected by id predicate, NOT limit(): Dataset.limit picks whichever
+    # blocks arrive first, so the bench set (and the drop count) varied run
+    # to run with Ray scheduling (observed 200 vs 201 dropped).
     t0 = time.perf_counter()
-    bench = deduped.limit(200).materialize()
+
+    def min_ids(t):
+        ids = np.sort(np.asarray(t.column("doc_id")))[:200]
+        return pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+    partial_mins = np.sort(
+        np.concatenate(
+            [
+                np.asarray(b.column("doc_id"))
+                for b in deduped.select_columns(["doc_id"])
+                .map_batches(min_ids, batch_format="pyarrow", zero_copy_batch=True)
+                .iter_batches(batch_format="pyarrow")
+                if b.num_rows
+            ]
+        )
+    )
+    bench_max = int(partial_mins[min(199, len(partial_mins) - 1)])
+    bench = deduped.filter(expr=f"doc_id <= {bench_max}").materialize()
     contam = decontaminate(
         deduped, bench, text_col="clean_text", id_col="doc_id", n=4, min_overlap=1
     )
