@@ -50,6 +50,9 @@ def tumbling_window_agg(
         n = batch.num_rows
         require_non_null(batch, ts_col, "tumbling_window_agg")
         require_non_null(batch, key_col, "tumbling_window_agg")
+        # a null value would ride NaN through the float64 cast: sum/min/max
+        # turn NaN where SQL SKIPS nulls — a silent oracle divergence
+        require_non_null(batch, value_col, "tumbling_window_agg")
         epoch = _epoch_seconds(batch.column(ts_col))
         window = (epoch // window_s) * window_s
         keys = np.asarray(batch.column(key_col).combine_chunks())
@@ -113,6 +116,7 @@ def sliding_window_agg(
     def partial(batch: pa.Table) -> pa.Table:
         require_non_null(batch, ts_col, "sliding_window_agg")
         require_non_null(batch, key_col, "sliding_window_agg")
+        require_non_null(batch, value_col, "sliding_window_agg")
         epoch = _epoch_seconds(batch.column(ts_col))
         keys = np.asarray(batch.column(key_col).combine_chunks())
         vals = batch.column(value_col).combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
@@ -208,6 +212,7 @@ def asof_join(
         n = batch.num_rows
         require_non_null(batch, ts_col, "asof_join(right)")
         require_non_null(batch, key_col, "asof_join(right)")
+        require_non_null(batch, right_value_col, "asof_join(right)")
         return pa.table(
             {
                 "__key": batch.column(key_col),
@@ -319,6 +324,7 @@ def range_join(
         n = batch.num_rows
         require_non_null(batch, ts_col, "range_join(right)")
         require_non_null(batch, key_col, "range_join(right)")
+        require_non_null(batch, right_value_col, "range_join(right)")
         return pa.table(
             {
                 "__key": batch.column(key_col),

@@ -351,3 +351,21 @@ def test_rare_token_stats_null_id_both_regimes(ray_session):
     # common so the common set is non-empty and exceeds common_switch=0)
     with pytest.raises(Exception, match="rare_token_stats: id column"):
         rare_token_stats(docs, id_col="doc_id", min_df=2, common_switch=0).count()
+
+
+def test_window_null_value_clear_error(ray_session):
+    # a null value rides NaN through the float64 cast: sums/min/max go NaN
+    # where SQL SKIPS nulls — contract error instead of silent divergence
+    from raysketch.pipeline.events import tumbling_window_agg
+
+    ev = rd.from_arrow(
+        pa.table(
+            {
+                "ts": pa.array([1_000_000, 2_000_000], pa.timestamp("us")),
+                "event_type": pa.array(["a", "a"]),
+                "value": pa.array([1.0, None]),
+            }
+        )
+    )
+    with pytest.raises(Exception, match="tumbling_window_agg: column 'value' contains nulls"):
+        tumbling_window_agg(ev, window_s=3600).count()
