@@ -1,0 +1,148 @@
+"""Randomized property tests: stream operators vs DuckDB on adversarial shapes.
+
+The gate checks asof_join/range_join/sessionize against DuckDB oracles on the
+REAL events table (sf0.01 and sf0.1); these seeded trials add the shapes real
+data rarely exercises — duplicate timestamps within a key, exact ties at the
+window edge, keys present on only one side, single-event users — over random
+tables small enough to run every trial in-suite.
+
+The right side is deduplicated to one row per (key, ts) during generation:
+with duplicate right timestamps the at-or-before match is ambiguous (both the
+library's lexsort tie-break and DuckDB's ASOF pick an arbitrary winner), so
+uniqueness makes the expected match well-defined and the comparison exact.
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+
+def _random_events(rng, n, n_keys, ts_range):
+    keys = [rng.randrange(n_keys) for _ in range(n)]
+    ts = [rng.randrange(ts_range) * 1_000_000 for _ in range(n)]  # whole seconds in us
+    return keys, ts
+
+
+def _left_table(rng, n, n_keys, ts_range):
+    keys, ts = _random_events(rng, n, n_keys, ts_range)
+    return pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "user_id": pa.array(keys, pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+        }
+    )
+
+
+def _right_table(rng, n, n_keys, ts_range):
+    keys, ts = _random_events(rng, n, n_keys, ts_range)
+    seen = {}
+    for k, t in zip(keys, ts):
+        seen[(k, t)] = rng.random()  # last wins; one row per (key, ts)
+    rows = sorted(seen.items())
+    return pa.table(
+        {
+            "user_id": pa.array([k for (k, _), _ in rows], pa.int64()),
+            "ts": pa.array([t for (_, t), _ in rows], pa.timestamp("us")),
+            "value": pa.array([round(v, 6) for _, v in rows], pa.float64()),
+        }
+    )
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3, 4, 5])
+def test_asof_join_matches_duckdb(ray_session, seed):
+    from raysketch.pipeline.events import asof_join
+
+    rng = random.Random(seed)
+    lt = _left_table(rng, 120, 8, 40)
+    rt = _right_table(rng, 90, 10, 40)
+    got = (
+        asof_join(rd.from_arrow(lt).repartition(4), rd.from_arrow(rt).repartition(3))
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.register("l", lt.to_pandas())
+    con.register("r", rt.to_pandas())
+    exp = con.sql(
+        "SELECT l.event_id, "
+        "floor(epoch(r.ts))::BIGINT * 1000000 AS m_ts, r.value AS m_val "
+        "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts "
+        "ORDER BY l.event_id"
+    ).df()
+    assert len(got) == len(exp)
+    g_ts = got["matched_ts_us"].astype("float64").to_numpy()
+    e_ts = exp["m_ts"].astype("float64").to_numpy()
+    assert np.array_equal(np.isnan(g_ts), np.isnan(e_ts))
+    m = ~np.isnan(g_ts)
+    assert np.array_equal(g_ts[m], e_ts[m])
+    g_v = got["matched_value"].to_numpy()[m]
+    e_v = exp["m_val"].to_numpy()[m]
+    assert np.allclose(g_v, e_v)
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_range_join_matches_duckdb(ray_session, seed):
+    from raysketch.pipeline.events import range_join
+
+    rng = random.Random(seed)
+    lt = _left_table(rng, 80, 6, 30)
+    rt = _right_table(rng, 70, 8, 30)
+    w = 5_000_000  # 5 s window in us — exact edge ties occur often at this density
+    got = range_join(
+        rd.from_arrow(lt).repartition(3), rd.from_arrow(rt).repartition(2), window_us=w
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("l", lt.to_pandas())
+    con.register("r", rt.to_pandas())
+    exp = con.sql(
+        f"SELECT l.event_id, floor(epoch(r.ts))::BIGINT * 1000000 AS m_ts, "
+        f"r.value AS m_val FROM l JOIN r ON l.user_id = r.user_id "
+        f"AND r.ts BETWEEN l.ts - INTERVAL {w} MICROSECONDS AND l.ts"
+    ).df()
+    key = lambda df, a, b, c: sorted(zip(df[a].tolist(), df[b].tolist(), df[c].tolist()))
+    got_pairs = key(got, "event_id", "matched_ts_us", "matched_value")
+    exp_pairs = key(exp, "event_id", "m_ts", "m_val")
+    assert len(got_pairs) == len(exp_pairs)
+    for (ga, gb, gc), (ea, eb, ec) in zip(got_pairs, exp_pairs):
+        assert ga == ea and gb == eb and abs(gc - ec) < 1e-9
+
+
+@pytest.mark.parametrize("seed", [21, 22, 23])
+def test_sessionize_matches_duckdb(ray_session, seed):
+    from raysketch.pipeline.events import sessionize
+
+    rng = random.Random(seed)
+    lt = _left_table(rng, 150, 7, 3600)
+    gap = 300
+    got = (
+        sessionize(rd.from_arrow(lt).repartition(4), gap_s=gap)
+        .to_pandas()
+        .sort_values("user_id", ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.register("l", lt.to_pandas())
+    exp = con.sql(
+        f"""
+        WITH g AS (
+          SELECT user_id, ts,
+                 CASE WHEN floor(epoch(ts)) - floor(epoch(lag(ts) OVER
+                   (PARTITION BY user_id ORDER BY ts))) > {gap}
+                 THEN 1 ELSE 0 END AS new_s
+          FROM l
+        )
+        SELECT user_id, COUNT(*)::BIGINT AS n_events,
+               (SUM(new_s) + 1)::BIGINT AS n_sessions
+        FROM g GROUP BY user_id ORDER BY user_id
+        """
+    ).df()
+    assert got["user_id"].tolist() == exp["user_id"].tolist()
+    assert got["n_events"].tolist() == exp["n_events"].tolist()
+    assert got["n_sessions"].tolist() == exp["n_sessions"].tolist()
