@@ -146,3 +146,71 @@ def test_sessionize_matches_duckdb(ray_session, seed):
     assert got["user_id"].tolist() == exp["user_id"].tolist()
     assert got["n_events"].tolist() == exp["n_events"].tolist()
     assert got["n_sessions"].tolist() == exp["n_sessions"].tolist()
+
+
+@pytest.mark.parametrize("seed", [31, 32, 33])
+def test_top_k_per_group_matches_duckdb(ray_session, seed):
+    # heavy ties on order_col with a tiebreak column: must equal SQL
+    # QUALIFY row_number() OVER (PARTITION BY key ORDER BY v DESC, tb ASC)
+    from raysketch.pipeline.relational import top_k_per_group
+
+    rng = random.Random(seed)
+    n = 200
+    t = pa.table(
+        {
+            "k": pa.array([rng.randrange(6) for _ in range(n)], pa.int64()),
+            "v": pa.array([float(rng.randrange(5)) for _ in range(n)]),  # heavy ties
+            "tb": pa.array(rng.sample(range(10_000), n), pa.int64()),  # unique
+        }
+    )
+    got = (
+        top_k_per_group(rd.from_arrow(t).repartition(4), "k", "v", 3, tiebreak_col="tb")
+        .to_pandas()
+        .sort_values(["k", "v", "tb"], ascending=[True, False, True], ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    exp = con.sql(
+        "SELECT k, v, tb FROM t QUALIFY row_number() OVER "
+        "(PARTITION BY k ORDER BY v DESC, tb ASC) <= 3 "
+        "ORDER BY k, v DESC, tb"
+    ).df()
+    assert got["k"].tolist() == exp["k"].tolist()
+    assert got["v"].tolist() == exp["v"].tolist()
+    assert got["tb"].tolist() == exp["tb"].tolist()
+
+
+@pytest.mark.parametrize("seed", [41, 42])
+def test_tumbling_window_matches_duckdb(ray_session, seed):
+    from raysketch.pipeline.events import tumbling_window_agg
+
+    rng = random.Random(seed)
+    n = 300
+    t = pa.table(
+        {
+            "ts": pa.array(
+                [rng.randrange(10_000) * 1_000_000 for _ in range(n)], pa.timestamp("us")
+            ),
+            "event_type": pa.array([rng.choice("abc") for _ in range(n)]),
+            "value": pa.array([round(rng.random(), 6) for _ in range(n)]),
+        }
+    )
+    got = (
+        tumbling_window_agg(rd.from_arrow(t).repartition(4), window_s=600)
+        .to_pandas()
+        .sort_values(["event_type", "window_start"], ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    exp = con.sql(
+        "SELECT event_type, (floor(epoch(ts))::BIGINT // 600) * 600 AS window_start, "
+        "COUNT(*)::BIGINT AS n_events, SUM(value) AS sum_value, "
+        "MIN(value) AS min_value, MAX(value) AS max_value "
+        "FROM t GROUP BY 1, 2 ORDER BY 1, 2"
+    ).df()
+    assert got["event_type"].tolist() == exp["event_type"].tolist()
+    assert got["window_start"].tolist() == exp["window_start"].tolist()
+    assert got["n_events"].tolist() == exp["n_events"].tolist()
+    assert np.allclose(got["sum_value"], exp["sum_value"])
+    assert np.allclose(got["min_value"], exp["min_value"])
+    assert np.allclose(got["max_value"], exp["max_value"])
