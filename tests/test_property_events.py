@@ -214,3 +214,88 @@ def test_tumbling_window_matches_duckdb(ray_session, seed):
     assert np.allclose(got["sum_value"], exp["sum_value"])
     assert np.allclose(got["min_value"], exp["min_value"])
     assert np.allclose(got["max_value"], exp["max_value"])
+
+
+@pytest.mark.parametrize("seed", [51, 52])
+def test_sliding_window_matches_duckdb(ray_session, seed):
+    # each event belongs to window_s // slide_s windows; the SQL oracle fans
+    # out with generate_series over the same window starts
+    from raysketch.pipeline.events import sliding_window_agg
+
+    rng = random.Random(seed)
+    n = 200
+    t = pa.table(
+        {
+            "ts": pa.array(
+                [rng.randrange(5_000) * 1_000_000 for _ in range(n)], pa.timestamp("us")
+            ),
+            "event_type": pa.array([rng.choice("ab") for _ in range(n)]),
+            "value": pa.array([round(rng.random(), 6) for _ in range(n)]),
+        }
+    )
+    window_s, slide_s = 600, 200
+    got = (
+        sliding_window_agg(
+            rd.from_arrow(t).repartition(3), window_s=window_s, slide_s=slide_s
+        )
+        .to_pandas()
+        .sort_values(["event_type", "window_start"], ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    exp = con.sql(
+        f"""
+        WITH f AS (
+          SELECT event_type, value,
+                 (floor(epoch(ts))::BIGINT // {slide_s}) * {slide_s} - g.i * {slide_s}
+                   AS window_start
+          FROM t, generate_series(0, {window_s // slide_s - 1}) g(i)
+        )
+        SELECT event_type, window_start, COUNT(*)::BIGINT AS n_events,
+               SUM(value) AS sum_value
+        FROM f GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).df()
+    assert got["event_type"].tolist() == exp["event_type"].tolist()
+    assert got["window_start"].tolist() == exp["window_start"].tolist()
+    assert got["n_events"].tolist() == exp["n_events"].tolist()
+    assert np.allclose(got["sum_value"], exp["sum_value"])
+
+
+@pytest.mark.parametrize("seed", [61, 62])
+def test_line_dedup_matches_python_reference(ray_session, seed):
+    # random docs built from a small line pool (so hot lines emerge naturally,
+    # in BOTH regimes) vs a direct Python reference of the CCNet rule: drop
+    # every line appearing in >= min_docs DISTINCT docs, rebuild the text
+    from collections import defaultdict
+
+    from raysketch.pipeline.decontam import line_dedup
+
+    rng = random.Random(seed)
+    pool = [f"line pool {i}" for i in range(12)]
+    docs, texts = [], []
+    for d in range(60):
+        lines = [rng.choice(pool) for _ in range(rng.randrange(1, 6))]
+        docs.append(d)
+        texts.append("\n".join(lines))
+    min_docs = 5
+    df = defaultdict(set)
+    for d, tx in zip(docs, texts):
+        for ln in set(tx.split("\n")):
+            df[ln].add(d)
+    hot = {ln for ln, s in df.items() if len(s) >= min_docs}
+    expected = {
+        d: "\n".join(ln for ln in tx.split("\n") if ln not in hot)
+        for d, tx in zip(docs, texts)
+    }
+    t = pa.table({"doc_id": pa.array(docs, pa.int64()), "text": pa.array(texts)})
+    for hot_switch in (5_000_000, 0):  # broadcast regime, then join regime
+        out = (
+            line_dedup(
+                rd.from_arrow(t).repartition(4), min_docs=min_docs, hot_switch=hot_switch
+            )
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        got = dict(zip(out["doc_id"], out["clean_text"]))
+        assert got == expected, f"hot_switch={hot_switch}"
