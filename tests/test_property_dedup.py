@@ -1,0 +1,170 @@
+"""Randomized property tests: dedup/decontam operators vs independent oracles.
+
+jaccard_ngram_dedup claims EXACT all-pairs clustering (the prefix filter is a
+completeness-preserving candidate generator, unlike LSH) — so on random corpora
+a brute-force all-pairs union-find over exact word-shingle Jaccard must match
+its clusters EXACTLY, every trial. hot_ngrams and decontaminate get direct
+Python references of their stated rules (distinct-doc n-gram df; per-doc
+distinct overlap counts).
+"""
+
+from __future__ import annotations
+
+import random
+from collections import defaultdict
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+
+def _random_docs(rng, n_docs, vocab, min_len=3, max_len=12):
+    texts = []
+    for _ in range(n_docs):
+        n = rng.randrange(min_len, max_len)
+        texts.append(" ".join(rng.choice(vocab) for _ in range(n)))
+    # plant some near-dup pairs: copy with a one-token edit
+    for _ in range(n_docs // 5):
+        src = rng.randrange(len(texts))
+        toks = texts[src].split()
+        if len(toks) > 4:
+            toks[rng.randrange(len(toks))] = rng.choice(vocab)
+        texts.append(" ".join(toks))
+    return texts
+
+
+def _shingles(text, k=3):
+    toks = text.split()
+    if not toks:
+        return frozenset([("",)])
+    if len(toks) < k:
+        return frozenset([tuple(toks)])
+    return frozenset(tuple(toks[i : i + k]) for i in range(len(toks) - k + 1))
+
+
+def _brute_clusters(texts, threshold, k=3):
+    """All-pairs exact Jaccard >= threshold -> union-find -> {id: min-id}."""
+    sh = [_shingles(t, k) for t in texts]
+    parent = list(range(len(texts)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            inter = len(sh[i] & sh[j])
+            union = len(sh[i] | sh[j])
+            if union and inter / union >= threshold:
+                a, b = find(i), find(j)
+                if a != b:
+                    parent[max(a, b)] = min(a, b)
+    out = {}
+    for i in range(len(texts)):
+        r = find(i)
+        members = [j for j in range(len(texts)) if find(j) == r]
+        if len(members) > 1:
+            out[i] = min(members)
+    return out
+
+
+@pytest.mark.parametrize("seed", [71, 72, 73])
+def test_jaccard_dedup_matches_brute_force(ray_session, seed):
+    from raysketch.pipeline.dedup import jaccard_ngram_dedup
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = _random_docs(rng, 40, vocab)
+    expected = _brute_clusters(texts, threshold=0.8)
+    t = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)}
+    )
+    got_t = jaccard_ngram_dedup(rd.from_arrow(t).repartition(4), threshold=0.8)
+    got = dict(
+        zip(
+            got_t.column("doc_id").to_pylist(),
+            got_t.column("cluster_id").to_pylist(),
+        )
+    )
+    # exact completeness AND precision: identical membership and labels
+    # (64-bit shingle-hash collisions are ~impossible at this scale)
+    assert got == expected, f"seed={seed}"
+
+
+def _ngrams(text, n):
+    toks = text.split()
+    return set(tuple(toks[i : i + n]) for i in range(len(toks) - n + 1))
+
+
+@pytest.mark.parametrize("seed", [81, 82])
+@pytest.mark.parametrize("hot_switch", [5_000_000, 0])
+def test_hot_ngrams_matches_reference(ray_session, seed, hot_switch):
+    # (ngram, n_docs) for every word n-gram in >= min_docs DISTINCT docs —
+    # both regimes must agree with the direct Python count
+    from raysketch.pipeline.decontam import hot_ngrams
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(12)]  # tiny vocab -> hot n-grams emerge
+    texts = _random_docs(rng, 50, vocab, min_len=4, max_len=10)
+    n, min_docs = 3, 5
+    df = defaultdict(set)
+    for d, tx in enumerate(texts):
+        for g in _ngrams(tx, n):
+            df[g].add(d)
+    expected = {
+        " ".join(g): len(s) for g, s in df.items() if len(s) >= min_docs
+    }
+    t = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)}
+    )
+    out = hot_ngrams(
+        rd.from_arrow(t).repartition(4), n=n, min_docs=min_docs, hot_switch=hot_switch
+    )
+    got = dict(zip(out.column("ngram").to_pylist(), out.column("n_docs").to_pylist()))
+    assert got == expected, f"seed={seed} hot_switch={hot_switch}"
+
+
+@pytest.mark.parametrize("seed", [91, 92])
+def test_decontaminate_matches_reference(ray_session, seed):
+    # overlap_ngrams = COUNT(DISTINCT n-grams shared with the bench set),
+    # rows only for docs with >= min_overlap
+    from raysketch.pipeline.decontam import decontaminate
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(15)]
+    texts = _random_docs(rng, 40, vocab, min_len=4, max_len=9)
+    bench_texts = texts[:5] + _random_docs(rng, 3, vocab, min_len=4, max_len=9)
+    n, min_overlap = 3, 1
+    bench_grams = set()
+    for tx in bench_texts:
+        bench_grams |= _ngrams(tx, n)
+    expected = {}
+    for d, tx in enumerate(texts):
+        ov = len(_ngrams(tx, n) & bench_grams)
+        if ov >= min_overlap:
+            expected[d] = ov
+    corpus = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)}
+    )
+    bench = pa.table(
+        {
+            "doc_id": pa.array(range(len(bench_texts)), pa.int64()),
+            "text": pa.array(bench_texts),
+        }
+    )
+    out = pa.concat_tables(
+        b
+        for b in decontaminate(
+            rd.from_arrow(corpus).repartition(4),
+            rd.from_arrow(bench),
+            n=n,
+            min_overlap=min_overlap,
+        ).iter_batches(batch_format="pyarrow")
+    )
+    got = dict(
+        zip(out.column("doc_id").to_pylist(), out.column("overlap_ngrams").to_pylist())
+    )
+    assert got == expected, f"seed={seed}"
