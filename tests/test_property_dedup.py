@@ -168,3 +168,47 @@ def test_decontaminate_matches_reference(ray_session, seed):
         zip(out.column("doc_id").to_pylist(), out.column("overlap_ngrams").to_pylist())
     )
     assert got == expected, f"seed={seed}"
+
+
+@pytest.mark.parametrize("seed", [101, 102, 103])
+def test_simhash_dedup_matches_brute_force(ray_session, seed):
+    # the 4x16-bit band buckets are pigeonhole-COMPLETE for Hamming <= 3, so
+    # brute-force clustering over the same simhash64 fingerprints must match
+    # exactly — this pins the banding, pair emission, vectorized Hamming
+    # verify and distributed CC (the fingerprint definition itself is pinned
+    # by its own unit tests)
+    from raysketch.pipeline.dedup import simhash64, simhash_dedup
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(25)]
+    texts = _random_docs(rng, 45, vocab, min_len=4, max_len=10)
+    fp = simhash64(pa.array(texts))
+    max_h = 3
+    parent = list(range(len(texts)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            if bin(int(fp[i]) ^ int(fp[j])).count("1") <= max_h:
+                a, b = find(i), find(j)
+                if a != b:
+                    parent[max(a, b)] = min(a, b)
+    expected = {}
+    for i in range(len(texts)):
+        r = find(i)
+        members = [j for j in range(len(texts)) if find(j) == r]
+        if len(members) > 1:
+            expected[i] = min(members)
+    t = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)}
+    )
+    out = simhash_dedup(rd.from_arrow(t).repartition(4), max_hamming=max_h)
+    got = dict(
+        zip(out.column("doc_id").to_pylist(), out.column("cluster_id").to_pylist())
+    )
+    assert got == expected, f"seed={seed}"
