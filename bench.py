@@ -55,6 +55,31 @@ def _quota_probe_ms() -> float:
     return round((time.perf_counter() - t0) * 1000, 1)
 
 
+def _quota_probe_mc_ms(workers: int = 8) -> float:
+    """Multi-core quota index: wall time of ``workers`` concurrent 10M-element
+    numpy multiplies on a thread pool (numpy releases the GIL, so this
+    genuinely exercises N cores with zero process-spawn noise). The
+    single-core probe above is BLIND to the sandbox's sustained-multicore
+    drain tier (r5 finding: 1-core reads ~20 ms nominal while 32-way Ray
+    workloads run ~2x slow); nominal here ≈ the 1-core number, drained is
+    several x it."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import numpy as np
+
+    arrays = [np.arange(10_000_000, dtype=np.float64) for _ in range(workers)]
+
+    def mult(x):
+        y = x * 1.0000001
+        return float(y[-1])
+
+    with ThreadPoolExecutor(workers) as pool:
+        t0 = time.perf_counter()
+        list(pool.map(mult, arrays))
+        wall = (time.perf_counter() - t0) * 1000
+    return round(wall, 1)
+
+
 _BOILERPLATE = (
     "subscribe to our newsletter for updates and exclusive offers today",
     "all rights reserved terms of service and privacy policy apply here",
@@ -351,12 +376,14 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     best: dict[str, float] = {}
     extras: dict[str, float] = {}
     extras["quota_probe_ms"] = _quota_probe_ms()
+    extras["quota_probe_mc8_ms"] = _quota_probe_mc_ms()
     for _ in range(trials):
         timings, ex = one_round()
         extras.update(ex)
         for k, v in timings.items():
             best[k] = min(best.get(k, float("inf")), v)
     extras["quota_probe_ms_end"] = _quota_probe_ms()
+    extras["quota_probe_mc8_ms_end"] = _quota_probe_mc_ms()
 
     extras["bloom_build_rows"] = n_rows
     extras["bloom_build_rows_per_sec"] = round(n_rows / best["bloom_build"], 1)
