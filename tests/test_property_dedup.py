@@ -14,6 +14,7 @@ import random
 from collections import defaultdict
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 import ray.data as rd
@@ -212,3 +213,46 @@ def test_simhash_dedup_matches_brute_force(ray_session, seed):
         zip(out.column("doc_id").to_pylist(), out.column("cluster_id").to_pylist())
     )
     assert got == expected, f"seed={seed}"
+
+
+@pytest.mark.parametrize("seed", [111, 112])
+def test_dup_span_and_rare_token_regime_equality(ray_session, seed):
+    # the broadcast and join regimes of dup_span_stats and rare_token_stats
+    # must produce identical tables on random corpora (the regime switch is a
+    # pure scale decision, never a semantics change)
+    from raysketch.pipeline.decontam import dup_span_stats
+    from raysketch.pipeline.text import rare_token_stats
+
+    rng = random.Random(seed)
+    vocab = [f"tok{i}" for i in range(18)]
+    texts = _random_docs(rng, 45, vocab, min_len=4, max_len=14)
+    t = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)}
+    )
+
+    def collect(ds_out, sort_cols):
+        return (
+            pa.concat_tables(
+                b for b in ds_out.iter_batches(batch_format="pyarrow") if b.num_rows
+            )
+            .to_pandas()
+            .sort_values(sort_cols, ignore_index=True)
+        )
+
+    a = collect(
+        dup_span_stats(rd.from_arrow(t).repartition(4), window=16), ["doc_id"]
+    )
+    b = collect(
+        dup_span_stats(rd.from_arrow(t).repartition(4), window=16, dup_switch=0),
+        ["doc_id"],
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+    a = collect(rare_token_stats(rd.from_arrow(t).repartition(4), min_df=3), ["doc_id"])
+    b = collect(
+        rare_token_stats(
+            rd.from_arrow(t).repartition(4), min_df=3, common_switch=0
+        ),
+        ["doc_id"],
+    )
+    pd.testing.assert_frame_equal(a, b)
