@@ -256,3 +256,35 @@ def test_dup_span_and_rare_token_regime_equality(ray_session, seed):
         ["doc_id"],
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.parametrize("seed", [121, 122])
+def test_minhash_pair_payload_regimes_identical(ray_session, monkeypatch, seed):
+    # _attach_pair_payload's Bloom-prefilter join regime (the 10^9-pairs scale
+    # path) must produce the same clusters as the broadcast regime — forced by
+    # wrapping the module-level function with broadcast_limit=0
+    import raysketch.pipeline.dedup as dd
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = _random_docs(rng, 40, vocab)
+    t = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)}
+    )
+
+    def run():
+        out = dd.minhash_lsh_dedup(rd.from_arrow(t).repartition(4))
+        return dict(
+            zip(out.column("doc_id").to_pylist(), out.column("cluster_id").to_pylist())
+        )
+
+    base = run()
+    orig = dd._attach_pair_payload
+    monkeypatch.setattr(
+        dd,
+        "_attach_pair_payload",
+        lambda *a, **k: orig(*a, **{**k, "broadcast_limit": 0}),
+    )
+    forced = run()
+    assert forced == base, f"seed={seed}"
+    assert base  # the planted near-dups guarantee at least one cluster
