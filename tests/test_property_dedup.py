@@ -288,3 +288,31 @@ def test_minhash_pair_payload_regimes_identical(ray_session, monkeypatch, seed):
     forced = run()
     assert forced == base, f"seed={seed}"
     assert base  # the planted near-dups guarantee at least one cluster
+
+
+@pytest.mark.parametrize("seed", [131, 132])
+def test_minhash_hot_member_regimes_identical(ray_session, monkeypatch, seed):
+    # _hot_members' distributed semi-join regime (hot buckets past the
+    # broadcast limit) must reproduce the broadcast regime's clusters too
+    import raysketch.pipeline.dedup as dd
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = _random_docs(rng, 40, vocab)
+    t = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)}
+    )
+
+    def run():
+        out = dd.minhash_lsh_dedup(rd.from_arrow(t).repartition(4))
+        return dict(
+            zip(out.column("doc_id").to_pylist(), out.column("cluster_id").to_pylist())
+        )
+
+    base = run()
+    orig = dd._hot_members
+    monkeypatch.setattr(
+        dd, "_hot_members", lambda *a, **k: orig(*a, **{**k, "broadcast_limit": 0})
+    )
+    forced = run()
+    assert forced == base and base, f"seed={seed}"
