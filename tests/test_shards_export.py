@@ -94,3 +94,45 @@ class TestWriteCorpusShards:
         assert out["n_rows"].sum() == len(df)
         back = read_corpus_shards(d).to_pandas().sort_values("doc_id", ignore_index=True)
         pd.testing.assert_frame_equal(back, df.sort_values("doc_id", ignore_index=True))
+
+
+def test_resume_ignores_leftover_tmp_files(ray_session, tmp_path):
+    """A crashed run leaves `part-NNNNN.parquet.tmp-xxxx` files behind; the
+    atomic-rename discipline means they are garbage. finished_parts must not
+    count them, resume must proceed normally, and read_corpus_shards must not
+    read them."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from raysketch.io.shards import (
+        finished_parts,
+        read_corpus_shards,
+        write_corpus_shards,
+    )
+
+    out = tmp_path / "resume"
+    out.mkdir()
+    (out / "part-00001.parquet.tmp-deadbeef").write_bytes(b"garbage")
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1], pa.int64()), "text": pa.array(["pre"])}),
+        str(out / "part-00001.parquet"),
+    )
+    json.dump(
+        {"key_col": "doc_id", "num_shards": 4, "shard_fn": "mod"},
+        open(out / "manifest.json", "w"),
+    )
+    assert finished_parts(str(out)) == {1}
+    docs = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(range(100), pa.int64()), "text": pa.array(["x"] * 100)}
+        )
+    )
+    summary = write_corpus_shards(docs, str(out), key_col="doc_id", num_shards=4)
+    assert summary[summary["shard"] == 1]["skipped"].item()
+    # 75 rows in the three rebuilt shards + the 1 preexisting row; the garbage
+    # tmp file is never read
+    assert read_corpus_shards(str(out)).count() == 76
