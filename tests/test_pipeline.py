@@ -178,9 +178,12 @@ def test_checkpoint_resume_identity(corpus_dir, tmp_path, ray_session):
     ck = str(tmp_path / "ckpt")
     pb1, lin1 = checkpointed_partitioned_bloom(ds, "url", N_ROWS, ck, num_shards=16)
     assert len(finished_shards(ck)) == 16
-    # sabotage: remove three shard files → resume rebuilds exactly those
+    # sabotage: remove three shard files → resume rebuilds exactly those; a
+    # leftover .tmp file from a "crash" must be ignored by finished_shards
     for sid in (2, 7, 11):
         os.remove(os.path.join(ck, f"shard-{sid:05d}.parquet"))
+    with open(os.path.join(ck, "shard-00002.parquet.tmp-deadbeef"), "wb") as f:
+        f.write(b"garbage from a crashed writer")
     assert len(finished_shards(ck)) == 13
     pb2, lin2 = checkpointed_partitioned_bloom(ds, "url", N_ROWS, ck, num_shards=16)
     assert pb2.to_bytes() == pb1.to_bytes()  # resumed build bitwise-identical
